@@ -41,7 +41,7 @@ class CellValues(enum.IntEnum):
 NUM_CELL_VALUES = 7
 
 # Names used in output files for cell values (reference output_writer.hpp:110-111)
-CELL_VALUE_NAMES = ("rho", "n_e", "p_gas", "theta_e", "bb", "sigma", "beta_inverse")
+CELL_VALUE_NAMES = ("rho", "n_e", "p_gas", "Theta_e", "B", "sigma", "beta_inverse")
 
 
 class ModelType(enum.Enum):
