@@ -68,8 +68,10 @@ def formula_coefficients(pos, kcov, momentum_factors, frequencies,
       camera_x: (4,) camera position (for near/far cuts).
 
     Returns:
-      (j, alpha, keep): each (B, F) invariant coefficients; keep is the
-      (B,) sample mask after cuts (True = sample contributes).
+      (j, alpha, keep): j is the invariant emission coefficient IN UNITS OF
+      cn0/nup^2 (so values stay O(1) and survive float32; multiply the final
+      image by j_scale = cn0/nup^2); alpha is the unscaled invariant
+      absorption; keep is the (B,) sample mask after cuts.
     """
     x, y, z = pos[..., 1], pos[..., 2], pos[..., 3]
     xyz = pos[..., 1:4]
@@ -129,7 +131,12 @@ def formula_coefficients(pos, kcov, momentum_factors, frequencies,
 
     # 4-velocity (C 7-8; cpp:138-157): BL covariant -> BL contravariant ->
     # KS contravariant -> CKS contravariant
-    u_norm = 1.0 / jnp.sqrt(-gtt_bl + 2.0 * gtph_bl * ll - gphph_bl * ll * ll)
+    # Forward NaN for non-timelike arguments matches C++ sqrt(neg); the
+    # double-where keeps gradients finite.
+    u_arg = -gtt_bl + 2.0 * gtph_bl * ll - gphph_bl * ll * ll
+    u_norm = jnp.where(u_arg > 0.0,
+                       1.0 / jnp.sqrt(jnp.where(u_arg > 0.0, u_arg, 1.0)),
+                       jnp.nan)
     u_t_bl = -u_norm
     u_ph_bl = u_norm * ll
     ut_bl = gtt_bl * u_t_bl + gtph_bl * u_ph_bl
@@ -155,17 +162,46 @@ def formula_coefficients(pos, kcov, momentum_factors, frequencies,
     u_dot_k = (u0 * kcov[..., 0] + u1 * kcov[..., 1]
                + u2 * kcov[..., 2] + u3 * kcov[..., 3])
     nu_fluid = -u_dot_k[..., None] * frequencies[None, :] * momentum_factors[..., None]
-    j_fluid = params.cn0 * n_n0[..., None] * jnp.power(nu_fluid / params.nup,
-                                                       -params.alpha)
-    j_invariant = j_fluid / (nu_fluid * nu_fluid)
+    # x = nu/nup is O(1); j_invariant = (cn0/nup^2) * n * x^(-alpha-2).
+    # Near the horizon nu_fluid can go negative for the formula 4-velocity;
+    # the reference feeds that into std::pow, which returns a signed value
+    # for integer-valued exponents and NaN otherwise - match it with
+    # gradient-safe internals (_cpp_pow).
+    x_raw = nu_fluid / params.nup
+    j_scaled = n_n0[..., None] * _cpp_pow(x_raw, -params.alpha - 2.0)
     alpha_fluid = params.a_param * params.cn0 * n_n0[..., None] \
-        * jnp.power(nu_fluid / params.nup, -params.beta - params.alpha)
+        * _cpp_pow(x_raw, -params.beta - params.alpha)
     alpha_invariant = alpha_fluid * nu_fluid
+    keep = jnp.broadcast_to(keep[..., None], j_scaled.shape)
 
-    keep_f = keep[..., None]
-    return (jnp.where(keep_f, j_invariant, 0.0),
-            jnp.where(keep_f, alpha_invariant, 0.0),
-            keep)
+    return (jnp.where(keep, j_scaled, 0.0),
+            jnp.where(keep, alpha_invariant, 0.0),
+            keep[..., 0])
+
+
+def _cpp_pow(x, e):
+    """std::pow semantics for possibly-negative base, gradient-safe.
+
+    C++: pow(neg, integer-valued e) = sign(neg)^e * |neg|^e; non-integer e
+    gives NaN. jnp.power(neg, float) is NaN in both cases. The negative
+    branch is sanitized with double-where so backward passes stay finite.
+    """
+    x_safe = jnp.where(x > 0.0, x, 1.0)
+    pos = jnp.power(x_safe, e)
+    if isinstance(e, (int, float)) and float(e).is_integer():
+        sign = -1.0 if int(e) % 2 else 1.0
+        xn_safe = jnp.where(x < 0.0, -x, 1.0)
+        neg = sign * jnp.power(xn_safe, e)
+    else:
+        neg = jnp.nan
+    return jnp.where(x > 0.0, pos, jnp.where(x < 0.0, neg, jnp.power(x, e)))
+
+
+def formula_log_j_scale(params: FormulaParams):
+    """log of the factor restoring CGS units of the scaled invariant j.
+
+    Kept in log form: cn0/nup^2 ~ 1e-41 underflows float32."""
+    return jnp.log(params.cn0) - 2.0 * jnp.log(params.nup)
 
 
 def formula_params_from_config(cfg) -> FormulaParams:

@@ -111,23 +111,8 @@ def geodesic_rhs(y, spin, mass=1.0, flat=False, with_distance=False):
     Returns:
       (..., 8) or (..., 9) derivative (distance appended when requested).
     """
-    x = y[..., 1:4]
-    p = y[..., 4:8]
-    g_con = geometry.gcon(x, spin, mass, flat=flat)
-    dg_con = geometry.dgcon(x, spin, mass, flat=flat)
-    dx = jnp.einsum("...ij,...j->...i", g_con, p)
-    dp_spatial = -0.5 * jnp.einsum("...aij,...i,...j->...a", dg_con, p, p)
-    dp = jnp.concatenate([jnp.zeros_like(dp_spatial[..., :1]), dp_spatial], axis=-1)
-    out = jnp.concatenate([dx, dp], axis=-1)
-    if not with_distance:
-        return out
-    g_cov = geometry.gcov(x, spin, mass, flat=flat)
-    q = (jnp.einsum("...am,...m->...a", g_con[..., 1:, :], p)
-         - g_con[..., 0, 1:] * (jnp.einsum("...m,...m->...", g_con[..., 0, :], p)
-                                / g_con[..., 0, 0])[..., None])
-    ds2 = jnp.einsum("...ab,...a,...b->...", g_cov[..., 1:, 1:], q, q)
-    ds = -jnp.sqrt(jnp.maximum(ds2, 0.0))
-    return jnp.concatenate([out, ds[..., None]], axis=-1)
+    return geometry.geodesic_rhs_scalar(y, spin, mass, flat=flat,
+                                        with_distance=with_distance)
 
 
 class Sample(NamedTuple):
@@ -152,8 +137,8 @@ class Carry(NamedTuple):
 
 
 def _renorm(x_pos, p_cov, params: GeodesicParams):
-    g_con = geometry.gcon(x_pos, params.bh_a, params.bh_m, flat=params.ray_flat)
-    return geometry.renormalize_null_momentum(g_con, p_cov)
+    return geometry.renormalize_null_momentum_scalar(
+        x_pos, p_cov, params.bh_a, params.bh_m, flat=params.ray_flat)
 
 
 def _rk_step(y, h, params: GeodesicParams):
@@ -358,7 +343,8 @@ def trace_geodesics(positions, directions, params: GeodesicParams):
 
 
 def streaming_reduce(positions, directions, params: GeodesicParams,
-                     contribution_fn: Callable, init_state):
+                     contribution_fn: Callable, init_state,
+                     early_exit: bool = False):
     """Fused geodesic integration + per-sample reduction (no materialization).
 
     Runs the geodesic scan and feeds every emitted sample to
@@ -366,9 +352,31 @@ def streaming_reduce(positions, directions, params: GeodesicParams,
     :class:`Sample` batch. This is the memory-optimal path for unpolarized
     radiative transfer: nothing of the geodesic path is ever stored.
 
+    With ``early_exit`` the step loop is a lax.while_loop that stops once
+    every ray in the bundle has terminated - typically a large win because
+    ray lengths are ragged (the reference pads to max over pixels,
+    geodesics.cpp:374-377). The while form is forward-only (not
+    reverse-differentiable); use the default scan for gradients.
+
     Returns (final_state, flags, n_samples).
     """
     step_body = make_scan_body(params)
+    carry0 = initial_carry(positions, directions, params)
+
+    if early_exit:
+        def cond(loop_state):
+            n, carry, _ = loop_state
+            return (n < params.ray_max_steps) & jnp.any(carry.alive)
+
+        def body(loop_state):
+            n, carry, state = loop_state
+            carry, sample = step_body(carry, n)
+            state = contribution_fn(state, sample)
+            return (n + 1, carry, state)
+
+        _, carry, state = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), carry0, init_state))
+        return state, carry.flag, carry.n_samples
 
     def body(carry_state, n):
         carry, state = carry_state
@@ -376,7 +384,6 @@ def streaming_reduce(positions, directions, params: GeodesicParams,
         state = contribution_fn(state, sample)
         return (carry, state), None
 
-    carry0 = initial_carry(positions, directions, params)
     (carry, state), _ = jax.lax.scan(body, (carry0, init_state),
                                      jnp.arange(params.ray_max_steps))
     return state, carry.flag, carry.n_samples

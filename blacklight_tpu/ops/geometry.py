@@ -197,6 +197,126 @@ def dgcon(x, spin, mass=1.0, flat=False):
     return -(term_f + f[..., None, None, None] * term_l)
 
 
+def ks_derivatives(x, spin, mass=1.0):
+    """Scalar Kerr-Schild intermediates + their spatial derivatives.
+
+    The TPU-native factorization: because g^{munu} = eta^{munu} - f l^mu l^nu
+    is rank-1 off Minkowski, every metric contraction in the geodesic RHS
+    reduces to a handful of (B,)-shaped scalar ops - no (B,4,4) or (B,3,4,4)
+    tensors, which would waste 31/32 of the VPU lanes on their tiny trailing
+    dims. Same closed forms as the reference (geodesic_geometry.cpp:173-276),
+    just never materialized as tensors.
+
+    Returns:
+      (r, f, (l1,l2,l3), (df_dx,df_dy,df_dz),
+       (dl1, dl2, dl3)) where dli is a 3-tuple of d(l_i)/d(x,y,z).
+    """
+    a2 = spin * spin
+    xx, yy, z = x[..., 0], x[..., 1], x[..., 2]
+    rr2 = xx * xx + yy * yy + z * z
+    r2 = 0.5 * (rr2 - a2 + jnp.hypot(rr2 - a2, 2.0 * spin * z))
+    r = jnp.sqrt(r2)
+    f = 2.0 * mass * r2 * r / (r2 * r2 + a2 * z * z)
+    denom = r2 + a2
+    l1 = (r * xx + spin * yy) / denom
+    l2 = (r * yy - spin * xx) / denom
+    l3 = z / r
+
+    dr_denom = 2.0 * r2 - rr2 + a2
+    dr_dx = r * xx / dr_denom
+    dr_dy = r * yy / dr_denom
+    dr_dz = (r * z + a2 * z / r) / dr_denom
+    f_denom = r * (r2 * r2 + a2 * z * z)
+    poly = r2 * r2 - 3.0 * a2 * z * z
+    df_dx = -poly * dr_dx / f_denom * f
+    df_dy = -poly * dr_dy / f_denom * f
+    df_dz = -(poly * dr_dz + 2.0 * a2 * r * z) / f_denom * f
+
+    c1 = (xx - 2.0 * r * l1) / denom
+    c2 = (yy - 2.0 * r * l2) / denom
+    dl1 = (c1 * dr_dx + r / denom, c1 * dr_dy + spin / denom, c1 * dr_dz)
+    dl2 = (c2 * dr_dx - spin / denom, c2 * dr_dy + r / denom, c2 * dr_dz)
+    dl3 = (-z / r2 * dr_dx, -z / r2 * dr_dy, -z / r2 * dr_dz + 1.0 / r)
+    return r, f, (l1, l2, l3), (df_dx, df_dy, df_dz), (dl1, dl2, dl3)
+
+
+def geodesic_rhs_scalar(y, spin, mass=1.0, flat=False, with_distance=False):
+    """Geodesic ODE right-hand side in scalarized Kerr-Schild form.
+
+    Algebraically identical to :func:`blacklight_tpu.ops.geodesic.geodesic_rhs`
+    (reference geodesics.cpp:867-925), using the rank-1 structure:
+      dx^mu/dlambda = eta^{munu} p_nu - f l^mu (l.p)
+      dp_i /dlambda = +1/2 [ df_i (l.p)^2 + 2 f (l.p) (dl_i . p) ]
+      ds   /dlambda = -sqrt(|q|^2 + f (l.q)^2),
+        q^a = k^a - f l_a k^0 / (-1 - f)
+    with (l.p) = -p_0 + l_i p_i (index raised by eta).
+    """
+    p0 = y[..., 4]
+    p1, p2, p3 = y[..., 5], y[..., 6], y[..., 7]
+    if flat:
+        dx = jnp.stack([-p0, p1, p2, p3], axis=-1)
+        dp = jnp.zeros_like(dx)
+        out = jnp.concatenate([dx, dp], axis=-1)
+        if not with_distance:
+            return out
+        ds = -jnp.sqrt(p1 * p1 + p2 * p2 + p3 * p3)
+        return jnp.concatenate([out, ds[..., None]], axis=-1)
+
+    r, f, (l1, l2, l3), df, (dl1, dl2, dl3) = ks_derivatives(y[..., 1:4], spin, mass)
+    lp = -p0 + l1 * p1 + l2 * p2 + l3 * p3  # l^mu p_mu
+    flp = f * lp
+    k0 = -p0 + flp          # g^{0nu} p_nu (l^0 = -1)
+    k1 = p1 - flp * l1
+    k2 = p2 - flp * l2
+    k3 = p3 - flp * l3
+    dlp1 = dl1[0] * p1 + dl2[0] * p2 + dl3[0] * p3
+    dlp2 = dl1[1] * p1 + dl2[1] * p2 + dl3[1] * p3
+    dlp3 = dl1[2] * p1 + dl2[2] * p2 + dl3[2] * p3
+    half_lp2 = 0.5 * lp * lp
+    dp1 = df[0] * half_lp2 + flp * dlp1
+    dp2 = df[1] * half_lp2 + flp * dlp2
+    dp3 = df[2] * half_lp2 + flp * dlp3
+    zero = jnp.zeros_like(p0)
+    out = jnp.stack([k0, k1, k2, k3, zero, dp1, dp2, dp3], axis=-1)
+    if not with_distance:
+        return out
+    scale = f * k0 / (-1.0 - f)
+    q1 = k1 - scale * l1
+    q2 = k2 - scale * l2
+    q3 = k3 - scale * l3
+    lq = l1 * q1 + l2 * q2 + l3 * q3
+    ds2 = q1 * q1 + q2 * q2 + q3 * q3 + f * lq * lq
+    ds = -jnp.sqrt(jnp.maximum(ds2, 0.0))
+    return jnp.concatenate([out, ds[..., None]], axis=-1)
+
+
+def renormalize_null_momentum_scalar(x, p_cov, spin, mass=1.0, flat=False):
+    """Scalarized null renormalization (same math as
+    :func:`renormalize_null_momentum`, reference geodesics.cpp:295-309):
+      a = |p_s|^2 - f (l_s.p_s)^2
+      b = 2 f (l_s.p_s) p_0
+      c = -(1 + f) p_0^2
+    choosing the stable quadratic branch for the spatial scale factor.
+    """
+    p0 = p_cov[..., 0]
+    p1, p2, p3 = p_cov[..., 1], p_cov[..., 2], p_cov[..., 3]
+    if flat:
+        a = p1 * p1 + p2 * p2 + p3 * p3
+        b = jnp.zeros_like(p0)
+        c = -p0 * p0
+    else:
+        _, f, l_lower = ks_scalars(x, spin, mass)
+        l1, l2, l3 = l_lower[..., 0], l_lower[..., 1], l_lower[..., 2]
+        lsps = l1 * p1 + l2 * p2 + l3 * p3
+        a = p1 * p1 + p2 * p2 + p3 * p3 - f * lsps * lsps
+        b = 2.0 * f * lsps * p0
+        c = -(1.0 + f) * p0 * p0
+    d = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
+    factor = jnp.where(b < 0.0, (d - b) / (2.0 * a), -2.0 * c / (b + d))
+    return jnp.concatenate([p0[..., None], p_cov[..., 1:] * factor[..., None]],
+                           axis=-1)
+
+
 def null_momentum_time_component(g_cov, p_spatial):
     """Solve g_{munu} p^mu p^nu = 0 for p^0 given contravariant spatial p^i.
 

@@ -74,7 +74,7 @@ def bh_mass_spin(cfg):
 
 
 def render_formula_image(cfg, *, positions=None, directions=None,
-                         momentum_factors=None):
+                         momentum_factors=None, early_exit: bool = True):
     """Unpolarized formula-model image over the root (or given) pixel bundle.
 
     Returns (image_dict, camera_rays, frequencies, mass_msun).
@@ -98,7 +98,8 @@ def render_formula_image(cfg, *, positions=None, directions=None,
 
     fused = jax.jit(functools.partial(
         integrate_unpolarized, params=params, coeff_fn=coeff_fn, opts=opts,
-        mass_msun=mass_msun, camera_x=camera_x))
+        mass_msun=mass_msun, camera_x=camera_x, early_exit=early_exit,
+        log_j_scale=formula_model.formula_log_j_scale(fparams)))
     image = fused(positions, directions, momentum_factors, frequencies)
     image = jax.tree.map(lambda a: np.asarray(a), image)
     return image, rays, frequencies, mass_msun

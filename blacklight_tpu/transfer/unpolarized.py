@@ -74,7 +74,8 @@ class ImageOptions:
 def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
                           params: geodesic.GeodesicParams, coeff_fn: Callable,
                           opts: ImageOptions, mass_msun: float, camera_x,
-                          cell_fn: Optional[Callable] = None):
+                          cell_fn: Optional[Callable] = None,
+                          early_exit: bool = False, log_j_scale=0.0):
     """Fused geodesic + unpolarized RT over a pixel bundle.
 
     Args:
@@ -90,6 +91,11 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
       camera_x: (4,) camera position (crossings plane).
       cell_fn: optional (pos, kcov) -> (B, NUM_CELL_VALUES) diagnostic values
         (NaN where invalid) for the *_ave / tau_int images.
+      log_j_scale: natural log of the unit factor by which coeff_fn's j
+        values were divided to keep them O(1) in float32; folded back into
+        I_nu/emission at the end (the transfer is linear in j, and the
+        source function S = j/alpha is rescaled consistently). Passed in log
+        form because the factor itself (~1e-41 CGS) underflows float32.
 
     Returns:
       dict of image arrays keyed by output names ("I_nu", "time", ...),
@@ -152,7 +158,10 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
             cells_ok = valid[:, None] & ~jnp.isnan(cells[:, 0:1])
 
         if opts.light:
-            ss = j / alpha
+            pos_alpha_pre = alpha > 0.0
+            # double-where: j/alpha with alpha == 0 is masked out below, but
+            # its NaN would still poison gradients through the select
+            ss = j / jnp.where(pos_alpha_pre, alpha, 1.0)
             delta_tau = alpha * dl_cgs
             atten = jnp.exp(-state["tau_accum"])
             pos_alpha = alpha > 0.0
@@ -225,14 +234,20 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         return state
 
     state, flags, n_samples = geodesic.streaming_reduce(
-        positions, directions, params, contribution, state)
+        positions, directions, params, contribution, state,
+        early_exit=early_exit)
 
     # Final transforms (unpolarized.cpp:176-209) + NaN poisoning of flagged rays
     out = {"_flags": flags, "_n_samples": n_samples}
     nan = jnp.array(jnp.nan, dtype)
     poison = (flags & opts.fallback_nan)[:, None]
     if opts.light:
-        img = state["I"] * frequencies[None, :] ** 3
+        # Combine the unit scale with the nu^3 factor in log space: the
+        # factor alone (~1e-41 CGS) underflows float32, but the product
+        # with nu^3 is representable.
+        scale = jnp.exp(jnp.asarray(log_j_scale, dtype)
+                        + 3.0 * jnp.log(frequencies[None, :].astype(dtype)))
+        img = state["I"] * scale
         out["I_nu"] = jnp.where(poison, nan, img)
     if opts.time:
         out["time"] = state["time"]
@@ -241,7 +256,9 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
     if opts.lam:
         out["lambda"] = state["lambda"]
     if opts.emission:
-        out["emission"] = jnp.where(poison, nan, state["emission"])
+        out["emission"] = jnp.where(
+            poison, nan,
+            state["emission"] * jnp.exp(jnp.asarray(log_j_scale, dtype)))
     if opts.tau:
         out["tau"] = jnp.where(poison, nan, state["tau"])
     if opts.lambda_ave:
