@@ -1,0 +1,84 @@
+"""Athena++ .athdf snapshot loader (host side, h5py).
+
+Covers the layout the reference reads in its from-scratch HDF5 parser
+(src/simulation_reader/simulation_reader.cpp:593-781 + VerifyVariablesAthena
+:1141-1217): datasets 'prim' (rho, press, vel1-3) and 'B' (Bcc1-3) with
+per-block face/center coordinate arrays. Unlike the reference's custom
+parser, host-side decoding uses h5py; the loaded grid becomes device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from blacklight_tpu.utils.errors import BlacklightError
+
+
+@dataclasses.dataclass(frozen=True)
+class SimulationGrid:
+    """Device-resident GRMHD snapshot.
+
+    prim is (n_var, n_b, n_k, n_j, n_i) float32 with variable order matching
+    the reference's combined prim+B indexing; `ind` maps names to slots.
+    """
+
+    prim: jnp.ndarray
+    x1f: jnp.ndarray    # (n_b, n_i+1)
+    x1v: jnp.ndarray    # (n_b, n_i)
+    x2f: jnp.ndarray
+    x2v: jnp.ndarray
+    x3f: jnp.ndarray
+    x3v: jnp.ndarray
+    ind: dict
+    time: float
+
+    @property
+    def n_blocks(self):
+        return self.prim.shape[1]
+
+
+def load_athdf(path: str, kappa_name: Optional[str] = None,
+               dtype=jnp.float64) -> SimulationGrid:
+    """Load an Athena++ .athdf file."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        dataset_names = [n.decode() for n in f.attrs["DatasetNames"]]
+        num_variables = list(f.attrs["NumVariables"])
+        variable_names = [n.decode() for n in f.attrs["VariableNames"]]
+        time = float(f.attrs["Time"])
+
+        # Stack datasets in order, tracking the global variable offset
+        arrays = []
+        for name in dataset_names:
+            arrays.append(np.asarray(f[name], dtype=np.float32))
+        prim = np.concatenate(arrays, axis=0)
+
+        ind = {}
+        wanted = {"rho": "rho", "pgas": "press", "uu1": "vel1", "uu2": "vel2",
+                  "uu3": "vel3", "bb1": "Bcc1", "bb2": "Bcc2", "bb3": "Bcc3"}
+        if kappa_name is not None:
+            wanted["kappa"] = kappa_name
+        for key, var in wanted.items():
+            if var not in variable_names:
+                raise BlacklightError(
+                    f'Unable to locate "{var}" slice of "prim" in data file.')
+            ind[key] = variable_names.index(var)
+
+        x1f = np.asarray(f["x1f"], dtype=np.float64)
+        x1v = np.asarray(f["x1v"], dtype=np.float64)
+        x2f = np.asarray(f["x2f"], dtype=np.float64)
+        x2v = np.asarray(f["x2v"], dtype=np.float64)
+        x3f = np.asarray(f["x3f"], dtype=np.float64)
+        x3v = np.asarray(f["x3v"], dtype=np.float64)
+
+    return SimulationGrid(
+        prim=jnp.asarray(prim),
+        x1f=jnp.asarray(x1f, dtype=dtype), x1v=jnp.asarray(x1v, dtype=dtype),
+        x2f=jnp.asarray(x2f, dtype=dtype), x2v=jnp.asarray(x2v, dtype=dtype),
+        x3f=jnp.asarray(x3f, dtype=dtype), x3v=jnp.asarray(x3v, dtype=dtype),
+        ind=ind, time=time)

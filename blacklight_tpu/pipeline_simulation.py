@@ -1,0 +1,199 @@
+"""Simulation-model pipeline: GRMHD snapshot -> fused ray trace -> image.
+
+Orchestrates the simulation path the reference spreads over
+SimulationReader::Read (simulation_reader.cpp:200-861) and the
+sampling/coefficient phases of RadiationIntegrator::Integrate
+(radiation_integrator.cpp:676-762). Here the snapshot loads once to device
+memory (replicated) and the sampler + synchrotron coefficients run inside
+the same fused scan as the geodesic integration and RT accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blacklight_tpu.constants import (
+    ModelType,
+    PlasmaModel,
+    SimulationFormat,
+)
+from blacklight_tpu.camera import make_camera
+from blacklight_tpu.grid.athena import load_athdf
+from blacklight_tpu.grid.sampling import SamplerOptions, sample_grid
+from blacklight_tpu.models import synchrotron
+from blacklight_tpu.models.cuts import GeometricCuts, geometric_keep
+from blacklight_tpu.output import format_filename
+from blacklight_tpu.transfer.unpolarized import ImageOptions, integrate_unpolarized
+from blacklight_tpu.utils.errors import BlacklightError
+
+
+def plasma_params_from_config(cfg) -> synchrotron.PlasmaParams:
+    model = cfg.require("plasma_model")
+    power_frac = cfg.require("plasma_power_frac")
+    kappa_frac = cfg.require("plasma_kappa_frac")
+    thermal_frac = 1.0 - power_frac - kappa_frac
+    if thermal_frac < 0.0 or thermal_frac > 1.0:
+        raise BlacklightError("Invalid plasma distribution fractions.")
+    use_p = cfg.require("plasma_use_p") if model == PlasmaModel.ti_te_beta else True
+    kwargs = {}
+    if model == PlasmaModel.ti_te_beta and not use_p:
+        kwargs = dict(gamma=cfg.require("plasma_gamma"),
+                      gamma_i=cfg.require("plasma_gamma_i"),
+                      gamma_e=cfg.require("plasma_gamma_e"))
+    if power_frac != 0.0:
+        kwargs.update(power_p=cfg.require("plasma_p"),
+                      gamma_min=cfg.require("plasma_gamma_min"),
+                      gamma_max=cfg.require("plasma_gamma_max"))
+    if kappa_frac != 0.0:
+        kwargs.update(kappa=cfg.require("plasma_kappa"),
+                      w=cfg.require("plasma_w"))
+    return synchrotron.PlasmaParams(
+        mu=cfg.require("plasma_mu"),
+        ne_ni=cfg.require("plasma_ne_ni"),
+        model=model,
+        use_p=use_p,
+        rat_low=cfg.require("plasma_rat_low") if model == PlasmaModel.ti_te_beta else 1.0,
+        rat_high=cfg.require("plasma_rat_high") if model == PlasmaModel.ti_te_beta else 1.0,
+        power_frac=power_frac,
+        kappa_frac=kappa_frac,
+        **kwargs)
+
+
+def cut_params_from_config(cfg) -> synchrotron.CutParams:
+    return synchrotron.CutParams(
+        rho_min=cfg.require("cut_rho_min"), rho_max=cfg.require("cut_rho_max"),
+        n_e_min=cfg.require("cut_n_e_min"), n_e_max=cfg.require("cut_n_e_max"),
+        p_gas_min=cfg.require("cut_p_gas_min"), p_gas_max=cfg.require("cut_p_gas_max"),
+        theta_e_min=cfg.require("cut_theta_e_min"),
+        theta_e_max=cfg.require("cut_theta_e_max"),
+        b_min=cfg.require("cut_b_min"), b_max=cfg.require("cut_b_max"),
+        sigma_min=cfg.require("cut_sigma_min"), sigma_max=cfg.require("cut_sigma_max"),
+        beta_inverse_min=cfg.require("cut_beta_inverse_min"),
+        beta_inverse_max=cfg.require("cut_beta_inverse_max"))
+
+
+def load_grid(cfg, snapshot: Optional[int] = None, dtype=jnp.float64):
+    fmt = cfg.require("simulation_format")
+    path = cfg.require("simulation_file")
+    if cfg.require("simulation_multiple") and snapshot is not None:
+        path = format_filename(path, snapshot)
+    kappa_name = None
+    if cfg.require("plasma_model") == PlasmaModel.code_kappa:
+        kappa_name = cfg.require("simulation_kappa_name")
+    if fmt == SimulationFormat.athena:
+        return load_athdf(path, kappa_name=kappa_name, dtype=dtype)
+    if fmt == SimulationFormat.athenak:
+        from blacklight_tpu.grid.athenak import load_athenak
+        return load_athenak(path, kappa_name=kappa_name, dtype=dtype,
+                            plasma_gamma=cfg.plasma_gamma)
+    if fmt == SimulationFormat.iharm3d:
+        from blacklight_tpu.grid.iharm3d import load_iharm3d
+        return load_iharm3d(path, cfg, dtype=dtype)
+    from blacklight_tpu.grid.harm3d import load_harm3d
+    return load_harm3d(path, cfg, dtype=dtype)
+
+
+def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
+                              *, polarized: bool = False):
+    """Build (coeff_fn, cell_fn) closures for the fused transfer scans."""
+    from blacklight_tpu.constants import Coordinates
+
+    spin = cfg.require("simulation_a")
+    if cfg.require("simulation_coord") not in (Coordinates.sks, Coordinates.fmks):
+        raise BlacklightError(
+            "Only sks/fmks simulation coordinates are supported so far.")
+    rho_unit = cfg.require("simulation_rho_cgs")
+    plasma = plasma_params_from_config(cfg)
+    cuts_val = cut_params_from_config(cfg)
+    cuts_geo = GeometricCuts.from_config(cfg)
+    sampler_opts = SamplerOptions(
+        interp=cfg.require("simulation_interp"),
+        fallback_nan=cfg.require("fallback_nan"),
+        fallback_rho=cfg.fallback_rho or 0.0,
+        fallback_pgas=cfg.fallback_pgas or 0.0,
+        fallback_kappa=cfg.fallback_kappa or 0.0,
+        has_kappa=plasma.model == PlasmaModel.code_kappa)
+    nu0 = float(np.asarray(frequencies)[0])
+    camera_x = geom.cam_x
+
+    def state_at(pos):
+        samples = sample_grid(grid, pos, spin, sampler_opts)
+        state = synchrotron.fluid_state(pos, samples, spin, plasma, rho_unit)
+        keep_geo = geometric_keep(pos, spin, camera_x, cuts_geo)
+        keep_val = synchrotron.value_cuts(state, cuts_val)
+        b_zero = ((samples["bb1"] == 0.0) & (samples["bb2"] == 0.0)
+                  & (samples["bb3"] == 0.0))
+        return state, keep_geo, keep_val, b_zero
+
+    def coeff_fn(pos, kcov, momentum_factors=momentum_factors):
+        state, keep_geo, keep_val, b_zero = state_at(pos)
+        sin_b, cos_b, sin2_b, u_dot_k = synchrotron.pitch_angle(
+            pos, kcov, state, spin)
+        nu_cgs = -u_dot_k[..., None] * frequencies[None, :] \
+            * momentum_factors[..., None]
+        coeffs = synchrotron.thermal_coefficients(
+            nu_cgs, nu0, state, sin_b, cos_b, sin2_b, plasma, polarized)
+        # Coupling skipped (-> zero coefficients) where cut or B = 0
+        # (simulation_coefficients.cpp:257-262, 361-375, 393-394). NaN
+        # samples flow through untouched: their comparisons are False, so
+        # keep stays True and NaN coefficients poison the ray as in the
+        # reference.
+        keep = (keep_geo & keep_val & ~b_zero)[..., None]
+        out = {k: jnp.where(keep, v, 0.0) for k, v in coeffs.items()}
+        if polarized:
+            return out
+        return out["j_i"], out["alpha_i"]
+
+    def cell_fn(pos, kcov):
+        state, keep_geo, keep_val, _ = state_at(pos)
+        cells = synchrotron.cell_values(state)
+        keep = (keep_geo & keep_val)[..., None]
+        return jnp.where(keep, cells, jnp.nan)
+
+    log_scale = synchrotron.log_j_scale(nu0)
+    return coeff_fn, cell_fn, log_scale
+
+
+def render_simulation_image(cfg, snapshot: Optional[int] = None,
+                            early_exit: bool = True):
+    """Unpolarized (or polarized, if configured) simulation-model image.
+
+    Returns (image_dict, camera_rays, frequencies, mass_msun).
+    """
+    from blacklight_tpu import pipeline
+
+    dtype = pipeline.compute_dtype(cfg)
+    bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
+    grid = load_grid(cfg, snapshot=snapshot, dtype=dtype)
+    geom, rays, frequencies = make_camera(cfg, bh_m=bh_m, bh_a=bh_a, dtype=dtype)
+    params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
+    opts = ImageOptions.from_config(cfg)
+    polarized = bool(cfg.require("image_polarization")) if cfg.require("image_light") \
+        else False
+
+    coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
+        cfg, grid, geom, frequencies, rays.momentum_factors, polarized=polarized)
+
+    if polarized:
+        from blacklight_tpu.transfer.polarized import integrate_polarized
+        fused = jax.jit(functools.partial(
+            integrate_polarized, params=params, coeff_fn=coeff_fn, opts=opts,
+            mass_msun=mass_msun, camera_x=geom.cam_x, camera_u_con=geom.u_con,
+            log_j_scale=log_scale,
+            rotation_split=bool(cfg.require("image_rotation_split"))))
+    else:
+        need_cells = opts.lambda_ave or opts.emission_ave or opts.tau_int
+        fused = jax.jit(functools.partial(
+            integrate_unpolarized, params=params, coeff_fn=coeff_fn, opts=opts,
+            mass_msun=mass_msun, camera_x=geom.cam_x,
+            cell_fn=cell_fn if need_cells else None,
+            early_exit=early_exit, log_j_scale=log_scale))
+    image = fused(rays.positions, rays.directions, rays.momentum_factors,
+                  frequencies)
+    image = jax.tree.map(lambda a: np.asarray(a), image)
+    return image, rays, frequencies, mass_msun
