@@ -342,6 +342,29 @@ def trace_geodesics(positions, directions, params: GeodesicParams):
     return samples, carry.flag, carry.n_samples
 
 
+def compact_samples(samples: Sample):
+    """Pack valid samples to the front of the step axis, preserving order.
+
+    The dp integrator leaves holes (rejected attempts emit valid=False); the
+    polarized reverse scan needs consecutive samples with access to the
+    next sample's step size. A stable argsort on ~valid compacts in
+    O(S log S) per ray.
+
+    Args:
+      samples: Sample with (S, B, ...) arrays.
+
+    Returns:
+      Compacted Sample (same shapes; invalid entries pushed to the end).
+    """
+    order = jnp.argsort(~samples.valid, axis=0, stable=True)  # (S, B)
+    def take(arr):
+        if arr.ndim == 3:
+            return jnp.take_along_axis(arr, order[..., None], axis=0)
+        return jnp.take_along_axis(arr, order, axis=0)
+    return Sample(pos=take(samples.pos), dir=take(samples.dir),
+                  len=take(samples.len), valid=take(samples.valid))
+
+
 def streaming_reduce(positions, directions, params: GeodesicParams,
                      contribution_fn: Callable, init_state,
                      early_exit: bool = False):

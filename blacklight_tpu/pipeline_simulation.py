@@ -123,8 +123,16 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
 
     def state_at(pos):
         samples = sample_grid(grid, pos, spin, sampler_opts)
-        state = synchrotron.fluid_state(pos, samples, spin, plasma, rho_unit)
         keep_geo = geometric_keep(pos, spin, camera_x, cuts_geo)
+        if polarized:
+            # The reference's sampler never assigns values at geometrically
+            # cut samples, leaving ZEROS that the polarized tetrad still
+            # consumes (simulation_sampling.cpp:692-693 'continue' after
+            # Zero()); mirror that.
+            samples = {k: (jnp.where(keep_geo, v, 0.0)
+                           if k != "off_grid" else v)
+                       for k, v in samples.items()}
+        state = synchrotron.fluid_state(pos, samples, spin, plasma, rho_unit)
         keep_val = synchrotron.value_cuts(state, cuts_val)
         b_zero = ((samples["bb1"] == 0.0) & (samples["bb2"] == 0.0)
                   & (samples["bb3"] == 0.0))
@@ -146,6 +154,9 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
         keep = (keep_geo & keep_val & ~b_zero)[..., None]
         out = {k: jnp.where(keep, v, 0.0) for k, v in coeffs.items()}
         if polarized:
+            out["ucon"] = state["ucon"]
+            out["bcon"] = state["bcon"]
+            out["b_zero"] = b_zero
             return out
         return out["j_i"], out["alpha_i"]
 
@@ -183,8 +194,9 @@ def render_simulation_image(cfg, snapshot: Optional[int] = None,
         from blacklight_tpu.transfer.polarized import integrate_polarized
         fused = jax.jit(functools.partial(
             integrate_polarized, params=params, coeff_fn=coeff_fn, opts=opts,
-            mass_msun=mass_msun, camera_x=geom.cam_x, camera_u_con=geom.u_con,
-            log_j_scale=log_scale,
+            mass_msun=mass_msun, camera_x=geom.cam_x,
+            camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
+            camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale,
             rotation_split=bool(cfg.require("image_rotation_split"))))
     else:
         need_cells = opts.lambda_ave or opts.emission_ave or opts.tau_int

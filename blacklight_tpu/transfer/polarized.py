@@ -1,0 +1,275 @@
+"""Polarized (full-Stokes IQUV) radiative transfer.
+
+Re-derivation of the reference integrator (src/radiation_integrator/
+polarized.cpp:51-973): the state is the complex coherency tensor N^{munu}
+per (ray, frequency), evolved far-end -> camera with Strang-split parallel
+transport around matter coupling in a fluid tetrad frame:
+
+  per sample: transport N by half step (Euler, averaged connection/k)
+              -> build fluid tetrad (e_0 = u, e_3 ~ k, e_2 ~ b)
+              -> N -> tetrad Stokes (I 14)
+              -> matter coupling (polarized_coupling.py)
+              -> Stokes -> N (I 13), back to coordinates
+              -> transport by second half step
+  finally:    camera-frame tetrad per pixel -> Stokes I, Q, U, V; nu^3 scale.
+
+Because the coupling operators do not commute along the ray, this path
+materializes the geodesic samples (trace_geodesics + compaction) and scans
+the step axis in reverse - unlike the streaming unpolarized path. Pixel
+bundles should be chunked by the caller for memory.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from blacklight_tpu.constants import Physics
+from blacklight_tpu.ops import connection as connection_mod
+from blacklight_tpu.ops import geodesic, geometry
+from blacklight_tpu.ops.tetrad import tetrad_cks
+from blacklight_tpu.transfer.polarized_coupling import couple_matter
+from blacklight_tpu.transfer.unpolarized import ImageOptions
+from blacklight_tpu.utils.errors import BlacklightError
+
+
+def _kcon_scalar(pos, kcov, spin, mass, flat):
+    """g^{munu} k_nu via the Kerr-Schild rank-1 structure."""
+    if flat:
+        return jnp.concatenate([-kcov[..., :1], kcov[..., 1:]], axis=-1)
+    _, f, l_lower = geometry.ks_scalars(pos[..., 1:4], spin, mass)
+    l1, l2, l3 = l_lower[..., 0], l_lower[..., 1], l_lower[..., 2]
+    lp = -kcov[..., 0] + l1 * kcov[..., 1] + l2 * kcov[..., 2] + l3 * kcov[..., 3]
+    flp = f * lp
+    return jnp.stack([-kcov[..., 0] + flp,
+                      kcov[..., 1] - flp * l1,
+                      kcov[..., 2] - flp * l2,
+                      kcov[..., 3] - flp * l3], axis=-1)
+
+
+def integrate_polarized(positions, directions, momentum_factors, frequencies,
+                        *, params: geodesic.GeodesicParams,
+                        coeff_fn: Callable, opts: ImageOptions,
+                        mass_msun: float, camera_x, camera_u_con, camera_u_cov,
+                        camera_vert_con_c, log_j_scale=0.0,
+                        rotation_split: bool = False):
+    """Full-Stokes transfer over a pixel bundle.
+
+    Args:
+      coeff_fn: (pos (B,4), kcov (B,4)) -> dict with (B, F) scaled j_i/j_q/j_v
+        and unscaled alpha_i/alpha_q/alpha_v, rho_q/rho_v, plus (B, 4) 'ucon',
+        'bcon' and (B,) 'b_zero' for the tetrad.
+
+    Returns dict with I_nu/Q_nu/U_nu/V_nu (B, F) plus auxiliary image planes
+    and _flags/_n_samples.
+    """
+    if opts.lambda_ave or opts.emission_ave or opts.tau_int:
+        raise BlacklightError(
+            "lambda_ave/emission_ave/tau_int with polarization not yet "
+            "supported in blacklight_tpu.")
+
+    b = positions.shape[0]
+    f = frequencies.shape[0]
+    dtype = positions.dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    x_unit = Physics.gg_msun * mass_msun / (Physics.c * Physics.c)
+    t_unit = x_unit / Physics.c
+
+    samples, flags, n_samples = geodesic.trace_geodesics(
+        positions, directions, params)
+    samples = geodesic.compact_samples(samples)
+    s_len = samples.len.shape[0]
+
+    # delta_lambda_new: the next (nearer-to-camera) sample's step, or the
+    # current one at the camera end (polarized.cpp:121-124 after reversal).
+    dl = -samples.len                                     # (S, B), positive
+    dl_next = jnp.concatenate([dl[:1], dl[:-1]], axis=0)  # shifted toward camera
+
+    spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
+
+    state = {
+        "nn": jnp.zeros((b, f, 4, 4), cdtype),
+        "nn_temp": jnp.zeros((b, f, 4, 4), cdtype),
+        "kcon_old": jnp.zeros((b, 4), dtype),
+        "conn_old": jnp.zeros((b, 4, 4, 4), dtype),
+        "dl_old": jnp.zeros(b, dtype),
+        "started": jnp.zeros(b, dtype=bool),
+    }
+    if opts.time:
+        state["time"] = jnp.zeros(b, dtype)
+    if opts.length:
+        state["length"] = jnp.zeros(b, dtype)
+    if opts.lam:
+        state["lambda"] = jnp.zeros((b, f), dtype)
+    if opts.emission:
+        state["emission"] = jnp.zeros((b, f), dtype)
+    if opts.tau:
+        state["tau"] = jnp.zeros((b, f), dtype)
+    if opts.crossings:
+        state["crossings"] = jnp.zeros(b, jnp.int32)
+        state["plane_sign"] = jnp.zeros(b, dtype=bool)
+
+    def body(state, xs):
+        pos, kcov, dl_cur, dl_nxt, valid = xs
+        active = valid
+        started = state["started"]
+        first = active & ~started
+        av = active.astype(dtype)
+
+        dl_cgs = dl_cur[:, None] * x_unit / (frequencies[None, :]
+                                             * momentum_factors[:, None])
+
+        conn = connection_mod.connection_cks(pos[:, 1:4], spin, mass, flat=flat)
+        conn_old = jnp.where(first[:, None, None, None], conn,
+                             0.5 * (state["conn_old"] + conn))
+        kcon = _kcon_scalar(pos, kcov, spin, mass, flat)
+        kcon_old = jnp.where(first[:, None], kcon,
+                             0.5 * (state["kcon_old"] + kcon))
+
+        # First-half parallel transport (polarized.cpp:174-192)
+        temp_a = jnp.einsum("Ba,Bmab->Bmb", kcon_old, conn_old)
+        dl_local = 0.5 * (jnp.where(first, 0.0, state["dl_old"]) + dl_cur)
+        nn = state["nn"]
+        dnn = -(jnp.einsum("Bmb,BFbn->BFmn", temp_a.astype(cdtype), nn)
+                + jnp.einsum("Bnb,BFmb->BFmn", temp_a.astype(cdtype), nn))
+        nn_half = state["nn_temp"] + dnn * dl_local[:, None, None, None]
+
+        # Fluid state, coefficients, tetrad
+        coeffs = coeff_fn(pos, kcov)
+        ucon = coeffs["ucon"]
+        bcon = coeffs["bcon"]
+        b_zero = coeffs["b_zero"]
+        g_cov, g_con = geometry.gcov_gcon(pos[:, 1:4], spin, mass, flat=flat)
+        ucov = jnp.einsum("Bmn,Bn->Bm", g_cov, ucon)
+        zhat = jnp.zeros_like(bcon).at[:, 3].set(1.0)
+        upcon = jnp.where(b_zero[:, None], zhat, bcon)
+        tet = tetrad_cks(ucon, ucov, kcon, kcov, upcon, g_cov, g_con)
+
+        # N -> tetrad covariant components (polarized.cpp:264-292)
+        e_cov = jnp.einsum("Ban,Bnm->Bam", tet, g_cov)
+        nn_tet = jnp.einsum("Bam,Bbn,BFmn->BFab",
+                            e_cov.astype(cdtype), e_cov.astype(cdtype), nn_half)
+        ss_start = jnp.stack([
+            0.5 * (nn_tet[..., 1, 1] + nn_tet[..., 2, 2]).real,
+            0.5 * (nn_tet[..., 1, 1] - nn_tet[..., 2, 2]).real,
+            0.5 * (nn_tet[..., 1, 2] + nn_tet[..., 2, 1]).real,
+            0.5 * (nn_tet[..., 2, 1] - nn_tet[..., 1, 2]).imag,
+        ], axis=-1)
+
+        # Auxiliary image planes (same accumulations as unpolarized)
+        if opts.time:
+            t_cgs = pos[:, 0] * t_unit
+            state["time"] = jnp.where(active,
+                                      jnp.minimum(state["time"], t_cgs),
+                                      state["time"])
+        if opts.length:
+            q = (jnp.einsum("Bam,Bm->Ba", g_con[:, 1:, :], kcov)
+                 - g_con[:, 0, 1:] * (jnp.einsum("Bm,Bm->B", g_con[:, 0, :], kcov)
+                                      / g_con[:, 0, 0])[:, None])
+            dl2 = jnp.einsum("Bab,Ba,Bb->B", g_cov[:, 1:, 1:], q, q)
+            state["length"] = state["length"] + jnp.where(
+                active, jnp.sqrt(jnp.maximum(dl2, 0.0)) * dl_cur * x_unit, 0.0)
+        if opts.lam:
+            state["lambda"] = state["lambda"] + jnp.where(
+                active[:, None], dl_cgs, 0.0)
+        if opts.emission:
+            state["emission"] = state["emission"] + jnp.where(
+                active[:, None], coeffs["j_i"] * dl_cgs, 0.0)
+        if opts.tau:
+            state["tau"] = state["tau"] + jnp.where(
+                active[:, None], coeffs["alpha_i"] * dl_cgs, 0.0)
+        if opts.crossings:
+            sign_new = (camera_x[1] * pos[:, 1] + camera_x[2] * pos[:, 2]
+                        + camera_x[3] * pos[:, 3]) > 0.0
+            flipped = active & started & (sign_new != state["plane_sign"])
+            state["crossings"] = state["crossings"] + flipped.astype(jnp.int32)
+            state["plane_sign"] = jnp.where(active, sign_new,
+                                            state["plane_sign"])
+
+        # Matter coupling in the tetrad frame
+        ss_end = couple_matter(ss_start, coeffs, dl_cgs, rotation_split)
+
+        # Stokes -> N (I 13; polarized.cpp:793-800)
+        zero_c = jnp.zeros_like(ss_end[..., 0], dtype=cdtype)
+        n11 = (ss_end[..., 0] + ss_end[..., 1]).astype(cdtype)
+        n22 = (ss_end[..., 0] - ss_end[..., 1]).astype(cdtype)
+        n12 = ss_end[..., 2].astype(cdtype) - 1j * ss_end[..., 3].astype(cdtype)
+        n21 = ss_end[..., 2].astype(cdtype) + 1j * ss_end[..., 3].astype(cdtype)
+        row0 = jnp.stack([zero_c, zero_c, zero_c, zero_c], axis=-1)
+        row1 = jnp.stack([zero_c, n11, n12, zero_c], axis=-1)
+        row2 = jnp.stack([zero_c, n21, n22, zero_c], axis=-1)
+        nn_tet_con = jnp.stack([row0, row1, row2, row0], axis=-2)
+
+        # Back to coordinate frame (polarized.cpp:802-813)
+        nn_post = jnp.einsum("Bam,Bbn,BFab->BFmn",
+                             tet.astype(cdtype), tet.astype(cdtype), nn_tet_con)
+
+        # Second-half transport (polarized.cpp:815-833)
+        temp_g = jnp.einsum("Ba,Bmab->Bmb", kcon, conn)
+        dl_local2 = 0.25 * (dl_cur + dl_nxt)
+        dnn2 = -(jnp.einsum("Bmb,BFbn->BFmn", temp_g.astype(cdtype), nn_post)
+                 + jnp.einsum("Bnb,BFmb->BFmn", temp_g.astype(cdtype), nn_post))
+        nn_new = nn_post + dnn2 * dl_local2[:, None, None, None]
+
+        act_c = active[:, None, None, None]
+        state["nn"] = jnp.where(act_c, nn_new, state["nn"])
+        state["nn_temp"] = jnp.where(act_c, nn_post, state["nn_temp"])
+        state["kcon_old"] = jnp.where(active[:, None], kcon, state["kcon_old"])
+        state["conn_old"] = jnp.where(active[:, None, None, None], conn,
+                                      state["conn_old"])
+        state["dl_old"] = jnp.where(active, dl_cur, state["dl_old"])
+        state["started"] = started | active
+        return state, None
+
+    xs = (samples.pos, samples.dir, dl, dl_next, samples.valid)
+    state, _ = jax.lax.scan(body, state, xs, reverse=True)
+
+    # Camera-frame Stokes extraction (polarized.cpp:846-949)
+    g_cov, g_con = geometry.gcov_gcon(positions[:, 1:4], spin, mass, flat=flat)
+    kcon = _kcon_scalar(positions, directions, spin, mass, flat)
+    up_con = jnp.concatenate([
+        (camera_u_con[0] * camera_vert_con_c[0]
+         - (camera_u_cov[1] * camera_vert_con_c[1]
+            + camera_u_cov[2] * camera_vert_con_c[2]
+            + camera_u_cov[3] * camera_vert_con_c[3]) / camera_u_cov[0])[None],
+        camera_vert_con_c[1:] + camera_u_con[1:] * camera_vert_con_c[0],
+    ])
+    up_con = jnp.broadcast_to(up_con, (b, 4))
+    u_con_b = jnp.broadcast_to(camera_u_con, (b, 4))
+    u_cov_b = jnp.broadcast_to(camera_u_cov, (b, 4))
+    tet = tetrad_cks(u_con_b, u_cov_b, kcon, directions, up_con, g_cov, g_con)
+    e_cov = jnp.einsum("Ban,Bnm->Bam", tet, g_cov)
+    nn_tet = jnp.einsum("Bam,Bbn,BFmn->BFab",
+                        e_cov.astype(cdtype), e_cov.astype(cdtype), state["nn"])
+    scale = jnp.exp(jnp.asarray(log_j_scale, dtype)
+                    + 3.0 * jnp.log(frequencies[None, :].astype(dtype)))
+    stokes_i = 0.5 * (nn_tet[..., 1, 1] + nn_tet[..., 2, 2]).real * scale
+    stokes_q = 0.5 * (nn_tet[..., 1, 1] - nn_tet[..., 2, 2]).real * scale
+    stokes_u = 0.5 * (nn_tet[..., 1, 2] + nn_tet[..., 2, 1]).real * scale
+    stokes_v = 0.5 * (nn_tet[..., 2, 1] - nn_tet[..., 1, 2]).imag * scale
+
+    nan = jnp.array(jnp.nan, dtype)
+    poison = (flags & opts.fallback_nan)[:, None]
+    out = {
+        "_flags": flags, "_n_samples": n_samples,
+        "I_nu": jnp.where(poison, nan, stokes_i),
+        "Q_nu": jnp.where(poison, nan, stokes_q),
+        "U_nu": jnp.where(poison, nan, stokes_u),
+        "V_nu": jnp.where(poison, nan, stokes_v),
+    }
+    if opts.time:
+        out["time"] = state["time"]
+    if opts.length:
+        out["length"] = state["length"]
+    if opts.lam:
+        out["lambda"] = state["lambda"]
+    if opts.emission:
+        out["emission"] = jnp.where(
+            poison, nan, state["emission"] * jnp.exp(jnp.asarray(log_j_scale, dtype)))
+    if opts.tau:
+        out["tau"] = jnp.where(poison, nan, state["tau"])
+    if opts.crossings:
+        out["crossings"] = state["crossings"].astype(dtype)
+    return out

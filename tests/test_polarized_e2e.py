@@ -1,0 +1,71 @@
+"""Polarized (IQUV) transfer tests against reference goldens."""
+
+import numpy as np
+import pytest
+
+from blacklight_tpu import read_config
+from blacklight_tpu.pipeline_simulation import render_simulation_image
+
+
+def render(fixtures_dir, name, **overrides):
+    cfg = read_config(str(fixtures_dir / name))
+    cfg.simulation_file = str(fixtures_dir / "mock_small.athdf")
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    image, rays, freqs, mass = render_simulation_image(cfg)
+    return cfg, image
+
+
+def test_polarized_rk4_exact_parity(fixtures_dir):
+    """Full-Stokes transfer (coherency-tensor transport + tetrad coupling +
+    Faraday rotation + admissibility clamps) matches the reference rk4 run."""
+    cfg, image = render(fixtures_dir, "golden_polarized_rk4_32.input")
+    gold = np.load(fixtures_dir / "golden_polarized_rk4_32.npz")
+    i_scale = np.nanmax(np.abs(gold["I_nu"]))
+    tols = {"I_nu": 1e-8, "Q_nu": 1e-4, "U_nu": 1e-4, "V_nu": 1e-4}
+    for k, tol in tols.items():
+        ours = image[k][:, 0].reshape(32, 32)
+        g = gold[k]
+        rel = np.abs(ours - g) / (np.abs(g) + i_scale * 1e-8)
+        assert np.nanmax(rel) < tol, f"{k}: max rel {np.nanmax(rel)}"
+
+
+def test_polarized_dp_quadrature_parity(fixtures_dir):
+    """With the dp integrator sample placement differs from the reference's
+    dense-output interpolation; polarization angles are quadrature-sensitive,
+    so Q/U/V agree statistically rather than pointwise."""
+    cfg, image = render(fixtures_dir, "golden_polarized_32.input")
+    gold = np.load(fixtures_dir / "golden_polarized_32.npz")
+    i_scale = np.nanmax(np.abs(gold["I_nu"]))
+    ours_i = image["I_nu"][:, 0].reshape(32, 32)
+    rel_i = np.abs(ours_i - gold["I_nu"]) / (np.abs(gold["I_nu"]) + i_scale * 1e-8)
+    assert np.nanmax(rel_i) < 6e-2
+    for k in ("Q_nu", "U_nu", "V_nu"):
+        ours = image[k][:, 0].reshape(32, 32)
+        g = gold[k]
+        # Normalize by the Stokes-I scale: fractional polarization error
+        frac_err = np.abs(ours - g) / i_scale
+        assert np.nanmean(frac_err) < 5e-3, f"{k}: mean frac {np.nanmean(frac_err)}"
+        assert np.nanmax(frac_err) < 1e-1, f"{k}: max frac {np.nanmax(frac_err)}"
+
+
+def test_polarization_physical(fixtures_dir):
+    """sqrt(Q^2+U^2+V^2) <= I everywhere (admissibility clamp)."""
+    cfg, image = render(fixtures_dir, "golden_polarized_rk4_32.input")
+    i_nu = image["I_nu"][:, 0]
+    pol = np.sqrt(image["Q_nu"][:, 0] ** 2 + image["U_nu"][:, 0] ** 2
+                  + image["V_nu"][:, 0] ** 2)
+    ok = np.isfinite(i_nu)
+    assert np.all(pol[ok] <= i_nu[ok] * (1.0 + 1e-8))
+
+
+def test_unpolarized_consistency(fixtures_dir):
+    """Stokes I from the polarized integrator approximates the unpolarized
+    intensity (they differ physically by polarized-absorption coupling, which
+    is weak for this mock)."""
+    cfg_p, image_p = render(fixtures_dir, "golden_polarized_rk4_32.input")
+    cfg_u, image_u = render(fixtures_dir, "golden_sim_rk4_32.input")
+    i_p = image_p["I_nu"][:, 0]
+    i_u = image_u["I_nu"][:, 0]
+    scale = np.nanmax(i_u)
+    assert np.nanmean(np.abs(i_p - i_u)) / scale < 2e-2
