@@ -126,8 +126,13 @@ def run(cfg, snapshot: Optional[int] = None, quiet: bool = False) -> dict:
         blacklight_warning(
             f"{n_bad} out of {len(image['_flags'])} geodesics terminate unexpectedly.")
 
+    rendering = None
+    if "rendering" in image:
+        # (num_pix, n_img, 3) -> (n_img, 3, num_pix)
+        rendering = np.transpose(np.asarray(image["rendering"]), (1, 2, 0))
     arrays = assemble_npz_arrays(cfg, image, mass_msun=mass_msun,
-                                 frequencies=frequencies, camera_rays=rays)
+                                 frequencies=frequencies, camera_rays=rays,
+                                 rendering=rendering)
     path = format_filename(cfg.require("output_file"), snapshot)
     # npy/raw need the packed (quantities, res, res) image block
     res = cfg.require("camera_resolution")

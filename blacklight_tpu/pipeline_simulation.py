@@ -190,22 +190,38 @@ def render_simulation_image(cfg, snapshot: Optional[int] = None,
     coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
         cfg, grid, geom, frequencies, rays.momentum_factors, polarized=polarized)
 
-    if polarized:
-        from blacklight_tpu.transfer.polarized import integrate_polarized
-        fused = jax.jit(functools.partial(
-            integrate_polarized, params=params, coeff_fn=coeff_fn, opts=opts,
-            mass_msun=mass_msun, camera_x=geom.cam_x,
-            camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
-            camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale,
-            rotation_split=bool(cfg.require("image_rotation_split"))))
-    else:
-        need_cells = opts.lambda_ave or opts.emission_ave or opts.tau_int
-        fused = jax.jit(functools.partial(
-            integrate_unpolarized, params=params, coeff_fn=coeff_fn, opts=opts,
-            mass_msun=mass_msun, camera_x=geom.cam_x,
-            cell_fn=cell_fn if need_cells else None,
-            early_exit=early_exit, log_j_scale=log_scale))
-    image = fused(rays.positions, rays.directions, rays.momentum_factors,
-                  frequencies)
+    image = {}
+    any_image = (cfg.require("image_light") or opts.time or opts.length
+                 or opts.lam or opts.emission or opts.tau or opts.lambda_ave
+                 or opts.emission_ave or opts.tau_int or opts.crossings)
+    if any_image:
+        if polarized:
+            from blacklight_tpu.transfer.polarized import integrate_polarized
+            fused = jax.jit(functools.partial(
+                integrate_polarized, params=params, coeff_fn=coeff_fn, opts=opts,
+                mass_msun=mass_msun, camera_x=geom.cam_x,
+                camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
+                camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale,
+                rotation_split=bool(cfg.require("image_rotation_split"))))
+        else:
+            need_cells = opts.lambda_ave or opts.emission_ave or opts.tau_int
+            fused = jax.jit(functools.partial(
+                integrate_unpolarized, params=params, coeff_fn=coeff_fn, opts=opts,
+                mass_msun=mass_msun, camera_x=geom.cam_x,
+                cell_fn=cell_fn if need_cells else None,
+                early_exit=early_exit, log_j_scale=log_scale))
+        image = fused(rays.positions, rays.directions, rays.momentum_factors,
+                      frequencies)
+
+    if cfg.require("render_num_images") > 0:
+        from blacklight_tpu.transfer.rendering import integrate_rendering
+        rgb, flags, n_samp = jax.jit(functools.partial(
+            integrate_rendering, params=params, cell_fn=cell_fn,
+            render_images=tuple(cfg.render_images), mass_msun=mass_msun))(
+                rays.positions, rays.directions)
+        image["rendering"] = rgb
+        image.setdefault("_flags", flags)
+        image.setdefault("_n_samples", n_samp)
+
     image = jax.tree.map(lambda a: np.asarray(a), image)
     return image, rays, frequencies, mass_msun
