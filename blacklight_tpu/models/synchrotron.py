@@ -246,6 +246,299 @@ def log_j_scale(nu0: float):
     return 2.0 * math.log(Physics.e) - math.log(Physics.c) - 2.0 * math.log(nu0)
 
 
+def hypergeometric(alpha: float, beta: float, gamma: float, z: float) -> float:
+    """2F1 via Pfaff transformation + 10-term series
+    (reference simulation_coefficients.cpp:740-773). Host-side scalar."""
+    a, bb, c = alpha, gamma - beta, gamma
+    x = z / (z - 1.0)
+    result = 1.0
+    a_k = b_k = c_k = xk = k_fact = 1.0
+    for k in range(1, 11):
+        a_k *= a + k - 1.0
+        b_k *= bb + k - 1.0
+        c_k *= c + k - 1.0
+        xk *= x
+        k_fact *= k
+        result += a_k * b_k * xk / (c_k * k_fact)
+    return result * (1.0 - z) ** (-alpha)
+
+
+def powerlaw_constants(p: PlasmaParams) -> dict:
+    """Precomputed power-law population constants (M 38-42;
+    simulation_coefficients.cpp:54-80)."""
+    pp = p.power_p
+    var_c = p.gamma_min ** (1.0 - pp) - p.gamma_max ** (1.0 - pp)
+    out = {
+        "jj": (3.0 ** (pp / 2.0) * (pp - 1.0)) / (2.0 * (pp + 1.0)) / var_c
+              * math.gamma((3.0 * pp - 1.0) / 12.0)
+              * math.gamma((3.0 * pp + 19.0) / 12.0),
+        "aa": (3.0 ** ((pp + 1.0) / 2.0) * (pp - 1.0) / 4.0) / var_c
+              * math.gamma((3.0 * pp + 2.0) / 12.0)
+              * math.gamma((3.0 * pp + 22.0) / 12.0),
+        "jj_q": -(pp + 1.0) / (pp + 7.0 / 3.0),
+        "jj_v": 0.684 * pp ** 0.49,
+        "aa_q": -((0.034 * pp - 0.0344) ** 0.086),
+        "aa_v": (0.71 * pp + 0.0352) ** 0.394,
+        "rho": (pp - 1.0) / var_c,
+        "rho_q": -(p.gamma_min ** (2.0 - pp)) / (pp / 2.0 - 1.0),
+        "rho_v": (2.0 * (pp + 2.0) / (pp + 1.0)) * p.gamma_min ** (-(pp + 1.0))
+                 * math.log(p.gamma_min),
+    }
+    return out
+
+
+def kappa_constants(p: PlasmaParams, polarized: bool = False) -> dict:
+    """Precomputed kappa-distribution constants (M 43-54;
+    simulation_coefficients.cpp:82-193), including the Bessel-K ratio and
+    the kappa-bracket interpolation coefficients.
+
+    Reference quirk reproduced deliberately: kappa_aa_high_i is only
+    initialized when image_light and image_polarization
+    (simulation_coefficients.cpp:120), yet the unpolarized alpha_i bridge
+    uses it (:661) - so unpolarized runs get ZERO kappa absorption (the
+    bridge sees pow(0, -x) = inf). Pass polarized accordingly."""
+    kap, w = p.kappa, p.w
+    var_h = w * kap
+    out = {
+        "jj_low": (4.0 * Math.pi * math.gamma(kap - 4.0 / 3.0))
+                  / (3.0 ** (7.0 / 3.0) * math.gamma(kap - 2.0)),
+        "jj_high": (3.0 ** ((kap - 1.0) / 2.0) * (kap - 2.0) * (kap - 1.0) / 4.0
+                    * math.gamma(kap / 4.0 - 1.0 / 3.0)
+                    * math.gamma(kap / 4.0 + 4.0 / 3.0)),
+        "jj_x_i": 3.0 * kap ** (-1.5),
+        "aa_low": (3.0 ** (1.0 / 6.0) * 10.0 / 41.0
+                   * 2.0 * Math.pi * var_h ** (kap - 10.0 / 3.0)
+                   * ((kap - 2.0) * (kap - 1.0) * kap) / (3.0 * kap - 1.0)
+                   * math.gamma(5.0 / 3.0)
+                   * hypergeometric(kap - 1.0 / 3.0, kap + 1.0, kap + 2.0 / 3.0,
+                                    -var_h)),
+        "aa_high": (Math.pi ** 1.5 / 3.0
+                    * ((kap - 2.0) * (kap - 1.0) * kap / var_h ** 3)
+                    * (2.0 * math.gamma(2.0 + kap / 2.0) / (2.0 + kap) - 1.0)),
+        "aa_x_i": (-1.75 + 1.6 * kap) ** (-0.86),
+        "jj_low_q": 0.5,
+        "jj_low_v": 0.5625 * kap ** (-0.528) / w,
+        "jj_high_q": 0.64 + 0.02 * kap,
+        "jj_high_v": 0.765625 * kap ** (-0.44) / w,
+        "jj_x_q": 3.7 * kap ** (-1.6),
+        "jj_x_v": 3.0 * kap ** (-1.5),
+        "aa_low_q": 25.0 / 48.0,
+        "aa_low_v": 77.0 / (100.0 * w) * kap ** (-0.7),
+        "aa_high_i": ((3.0 / kap) ** 4.75 + 0.6) if polarized else 0.0,
+        "aa_high_q": 441.0 * kap ** (-5.76) + 0.55,
+        "aa_high_v": (14.3 * w ** (-0.928))
+                     * (169.0 * kap ** (-8.0) + 0.0052 * kap - 0.0526
+                        + 47.0 / (200.0 * kap)),
+        "aa_x_q": 1.4 * kap ** (-1.15),
+        "aa_x_v": 1.22 * kap ** (-1.136) + 0.007,
+        "rho_v": float(_bessel_k(0, jnp.asarray(1.0 / w))
+                       / _bessel_k(2, jnp.asarray(1.0 / w))),
+    }
+
+    def q_set(a, bb, c, d, e):
+        return dict(a=a, b=bb, c=c, d=d, e=e)
+
+    q35 = q_set(17.0 * w + math.sqrt(w) * (-3.0 + 7.0 * math.exp(-5.0 * w)),
+                -1.0 / 30.0, 0.1, -1.5, 0.471)
+    q40 = q_set(46.0 / 3.0 * w + math.sqrt(w) * (-5.0 / 3.0
+                                                 + 17.0 / 3.0 * math.exp(-5.0 * w)),
+                -1.0 / 18.0, 1.0 / 6.0, -1.75, 0.5)
+    q45 = q_set(14.0 * w + math.sqrt(w) * (-1.625 + 4.5 * math.exp(-5.0 * w)),
+                -1.0 / 12.0, 0.25, -2.0, 0.525)
+    q50 = q_set(12.5 * w + math.sqrt(w) * (-1.0 + 5.0 * math.exp(-5.0 * w)),
+                -0.125, 0.375, -2.25, 0.541)
+    v35 = ((w * w + 2.0 * w + 1.0) / (3.125 * w * w + 4.0 * w + 1.0), 0.447)
+    v40 = ((w * w + 54.0 * w + 50.0) / (30.0 / 11.0 * w * w + 134.0 * w + 50.0),
+           0.391)
+    v45 = ((w * w + 43.0 * w + 38.0) / (7.0 / 3.0 * w * w + 92.5 * w + 38.0),
+           0.348)
+    v50 = ((w + 13.0 / 14.0) / (2.0 * w + 13.0 / 14.0), 0.313)
+    if kap < 4.0:
+        out["rho_frac"] = (kap - 3.5) / 0.5
+        out["rho_q_low"], out["rho_q_high"] = q35, q40
+        out["rho_v_low"], out["rho_v_high"] = v35, v40
+    elif kap < 4.5:
+        out["rho_frac"] = (kap - 4.0) / 0.5
+        out["rho_q_low"], out["rho_q_high"] = q40, q45
+        out["rho_v_low"], out["rho_v_high"] = v40, v45
+    else:
+        out["rho_frac"] = (kap - 4.5) / 0.5
+        out["rho_q_low"], out["rho_q_high"] = q45, q50
+        out["rho_v_low"], out["rho_v_high"] = v45, v50
+    return out
+
+
+def powerlaw_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
+                          sin2_theta_b, plasma: PlasmaParams, consts: dict,
+                          polarized: bool):
+    """Power-law population coefficients (M 28-29, 38-42;
+    simulation_coefficients.cpp:558-605), same scaling as thermal."""
+    out = {}
+    n_e = state["n_e_cgs"][..., None]
+    sin_b = sin_theta_b[..., None]
+    cos_b = cos_theta_b[..., None]
+    frac = plasma.power_frac
+    pp = plasma.power_p
+    nu_c = Physics.e * state["bb_cgs"][..., None] \
+        / (2.0 * Math.pi * Physics.m_e * Physics.c)
+    ratio = nu_cgs / jnp.maximum(nu_c * sin_b, 1e-300)
+
+    # Emissivity in units of e^2 nu0^2 / c (matching log_j_scale)
+    var_a = jnp.power(ratio, -(pp - 1.0) / 2.0)
+    coeff_j = frac * n_e * nu_c * (nu0 / nu_cgs) ** 2 * consts["jj"] * sin_b * var_a
+    out["j_i"] = coeff_j
+    if polarized:
+        var_b = cos_b / sin_b
+        var_c = 1.0 / jnp.sqrt(nu_cgs / (3.0 * nu_c * sin_b))
+        out["j_q"] = coeff_j * consts["jj_q"]
+        out["j_v"] = coeff_j * consts["jj_v"] * var_b * var_c
+
+    # Absorptivity (true invariant CGS): base has units e^2/(m_e c);
+    # invariant alpha * nu handled by the nu-free form as in thermal.
+    ka = Physics.e * Physics.e / (Physics.m_e * Physics.c)
+    var_a2 = jnp.power(ratio, -(pp + 2.0) / 2.0)
+    coeff_a = frac * n_e * ka * consts["aa"] * var_a2
+    out["alpha_i"] = coeff_a
+    if polarized:
+        var_b2 = jnp.power(jnp.power(sin_b, -1.92) * 3.1 - 3.1, 0.512)
+        var_c2 = 1.0 / jnp.sqrt(ratio)
+        var_d2 = jnp.where(cos_b >= 0.0, 1.0, -1.0)
+        out["alpha_q"] = coeff_a * consts["aa_q"]
+        out["alpha_v"] = coeff_a * consts["aa_v"] * var_b2 * var_c2 * var_d2
+
+        # Rotativities (M 40-42)
+        var_a3 = n_e * ka * nu_cgs / (nu_c * sin_b)
+        var_b3 = nu_c * sin_b / nu_cgs
+        var_c3 = var_b3 * var_b3
+        var_d3 = var_c3 * var_b3
+        var_e3 = 1.0 - jnp.power(
+            2.0 * nu_c * plasma.gamma_min ** 2 * sin_b / (3.0 * nu_cgs),
+            pp / 2.0 - 1.0)
+        var_f3 = cos_b / sin_b
+        coeff_r = frac * consts["rho"] * var_a3
+        out["rho_q"] = coeff_r * consts["rho_q"] * var_d3 * var_e3
+        out["rho_v"] = coeff_r * consts["rho_v"] * var_c3 * var_f3
+    return out
+
+
+def _bridge(low, high, x):
+    """Low/high-frequency bridging (low^-x + high^-x)^(-1/x), homogeneous of
+    degree 1 so the j unit scale factors through."""
+    return jnp.power(jnp.power(low, -x) + jnp.power(high, -x), -1.0 / x)
+
+
+def kappa_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
+                       sin2_theta_b, plasma: PlasmaParams, consts: dict,
+                       polarized: bool):
+    """Kappa-distribution coefficients (M 28-29, 43-54;
+    simulation_coefficients.cpp:607-698)."""
+    out = {}
+    n_e = state["n_e_cgs"][..., None]
+    sin_b = sin_theta_b[..., None]
+    cos_b = cos_theta_b[..., None]
+    sin2_b = sin2_theta_b[..., None]
+    frac = plasma.kappa_frac
+    kap, w = plasma.kappa, plasma.w
+    nu_c = Physics.e * state["bb_cgs"][..., None] \
+        / (2.0 * Math.pi * Physics.m_e * Physics.c)
+    nu_kappa = nu_c * w * w * kap * kap * sin_b
+    xx = nu_cgs / jnp.maximum(nu_kappa, 1e-300)
+
+    # Emissivities, scaled by e^2 nu0^2 / c
+    var_a = frac * n_e * nu_c * (nu0 / nu_cgs) ** 2
+    var_b = jnp.cbrt(xx) * sin_b
+    var_c = jnp.power(xx, -(kap - 2.0) / 2.0) * sin_b
+    c_low = consts["jj_low"] * var_a * var_b
+    c_high = consts["jj_high"] * var_a * var_c
+    out["j_i"] = _bridge(c_low, c_high, consts["jj_x_i"])
+    if polarized:
+        var_d = jnp.power(jnp.power(sin_b, -2.4) - 1.0, 0.48)
+        var_e = jnp.power(xx, -0.35)
+        var_f = jnp.power(jnp.power(sin_b, -2.5) - 1.0, 0.44)
+        var_g = 1.0 / jnp.sqrt(xx)
+        var_h = jnp.where(cos_b >= 0.0, 1.0, -1.0)
+        out["j_q"] = -_bridge(c_low * consts["jj_low_q"],
+                              c_high * consts["jj_high_q"], consts["jj_x_q"])
+        out["j_v"] = _bridge(c_low * consts["jj_low_v"] * var_d * var_e,
+                             c_high * consts["jj_high_v"] * var_f * var_g,
+                             consts["jj_x_v"]) * var_h
+
+    # Absorptivities (true CGS)
+    ka = Physics.e * Physics.e / (Physics.m_e * Physics.c)
+    var_a2 = frac * n_e * ka
+    a_low = consts["aa_low"] * var_a2 * jnp.power(xx, -2.0 / 3.0)
+    a_high = consts["aa_high"] * var_a2 * jnp.power(xx, -(1.0 + kap) / 2.0)
+    out["alpha_i"] = _bridge(a_low, a_high * consts["aa_high_i"],
+                             consts["aa_x_i"])
+    if polarized:
+        var_d2 = jnp.power(jnp.power(sin_b, -2.28) - 1.0, 0.446)
+        var_e2 = jnp.power(xx, -0.35)
+        var_f2 = jnp.sqrt(jnp.power(sin_b, -2.05) - 1.0)
+        var_g2 = 1.0 / jnp.sqrt(xx)
+        var_h2 = jnp.where(cos_b >= 0.0, 1.0, -1.0)
+        out["alpha_q"] = -_bridge(a_low * consts["aa_low_q"],
+                                  a_high * consts["aa_high_q"], consts["aa_x_q"])
+        out["alpha_v"] = _bridge(a_low * consts["aa_low_v"] * var_d2 * var_e2,
+                                 a_high * consts["aa_high_v"] * var_f2 * var_g2,
+                                 consts["aa_x_v"]) * var_h2
+
+        # Rotativities (M 51-54)
+        var_a3 = -frac * n_e * ka * nu_c ** 2 * sin2_b / (nu_cgs * nu_cgs)
+        var_b3 = frac * 2.0 * n_e * ka * nu_c * cos_b / nu_cgs
+        var_c3 = 1.0 / jnp.sqrt(xx)
+
+        def rho_q_term(q):
+            return var_a3 * q["a"] * (
+                1.0 - jnp.exp(q["b"] * jnp.power(xx, 0.84))
+                - jnp.sin(q["c"] * xx) * jnp.exp(q["d"] * jnp.power(xx, q["e"])))
+
+        def rho_v_term(v):
+            a, bb = v
+            return consts["rho_v"] * var_b3 * a \
+                * (1.0 - 0.17 * jnp.log(1.0 + bb * var_c3))
+
+        fr = consts["rho_frac"]
+        out["rho_q"] = (1.0 - fr) * rho_q_term(consts["rho_q_low"]) \
+            + fr * rho_q_term(consts["rho_q_high"])
+        out["rho_v"] = (1.0 - fr) * rho_v_term(consts["rho_v_low"]) \
+            + fr * rho_v_term(consts["rho_v_high"])
+    return out
+
+
+def all_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
+                     sin2_theta_b, plasma: PlasmaParams, polarized: bool,
+                     pl_consts: Optional[dict] = None,
+                     kp_consts: Optional[dict] = None):
+    """Sum of thermal + power-law + kappa populations
+    (reference accumulates += into shared arrays)."""
+    keys = ["j_i", "alpha_i"]
+    if polarized:
+        keys += ["j_q", "j_v", "alpha_q", "alpha_v", "rho_q", "rho_v"]
+    total = None
+    if plasma.thermal_frac != 0.0:
+        total = thermal_coefficients(nu_cgs, nu0, state, sin_theta_b,
+                                     cos_theta_b, sin2_theta_b, plasma,
+                                     polarized)
+    if plasma.power_frac != 0.0:
+        part = powerlaw_coefficients(nu_cgs, nu0, state, sin_theta_b,
+                                     cos_theta_b, sin2_theta_b, plasma,
+                                     pl_consts, polarized)
+        total = part if total is None else {
+            k: total.get(k, 0.0) + part.get(k, 0.0) for k in keys}
+    if plasma.kappa_frac != 0.0:
+        part = kappa_coefficients(nu_cgs, nu0, state, sin_theta_b,
+                                  cos_theta_b, sin2_theta_b, plasma,
+                                  kp_consts, polarized)
+        total = part if total is None else {
+            k: total.get(k, 0.0) + part.get(k, 0.0) for k in keys}
+    if total is None:
+        z = jnp.zeros_like(nu_cgs)
+        total = {k: z for k in keys}
+    for k in keys:
+        total.setdefault(k, jnp.zeros_like(nu_cgs))
+    return total
+
+
 def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
                          sin2_theta_b, plasma: PlasmaParams, polarized: bool):
     """Thermal synchrotron coefficients at fluid-frame frequencies nu_cgs (B,F).

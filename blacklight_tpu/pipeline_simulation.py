@@ -120,6 +120,10 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
         has_kappa=plasma.model == PlasmaModel.code_kappa)
     nu0 = float(np.asarray(frequencies)[0])
     camera_x = geom.cam_x
+    pl_consts = synchrotron.powerlaw_constants(plasma) \
+        if plasma.power_frac != 0.0 else None
+    kp_consts = synchrotron.kappa_constants(plasma, polarized=polarized) \
+        if plasma.kappa_frac != 0.0 else None
 
     def state_at(pos):
         samples = sample_grid(grid, pos, spin, sampler_opts)
@@ -144,8 +148,9 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
             pos, kcov, state, spin)
         nu_cgs = -u_dot_k[..., None] * frequencies[None, :] \
             * momentum_factors[..., None]
-        coeffs = synchrotron.thermal_coefficients(
-            nu_cgs, nu0, state, sin_b, cos_b, sin2_b, plasma, polarized)
+        coeffs = synchrotron.all_coefficients(
+            nu_cgs, nu0, state, sin_b, cos_b, sin2_b, plasma, polarized,
+            pl_consts=pl_consts, kp_consts=kp_consts)
         # Coupling skipped (-> zero coefficients) where cut or B = 0
         # (simulation_coefficients.cpp:257-262, 361-375, 393-394). NaN
         # samples flow through untouched: their comparisons are False, so

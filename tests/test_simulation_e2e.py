@@ -83,3 +83,41 @@ def test_gradient_wrt_grid_density(fixtures_dir):
     fd = (total_flux(1.0 + eps) - total_flux(1.0 - eps)) / (2 * eps)
     assert np.isfinite(g)
     np.testing.assert_allclose(g, fd, rtol=1e-2)
+
+
+def test_powerlaw_rk4_exact_parity(fixtures_dir):
+    """Power-law electron population (M 38-42)."""
+    cfg, image = render(fixtures_dir, "golden_plasma_pow_rk4_32.input")
+    I = image["I_nu"][:, 0].reshape(32, 32)
+    gold = np.load(fixtures_dir / "golden_plasma_pow_rk4_32.npz")["I_nu"]
+    np.testing.assert_allclose(I, gold, rtol=1e-8)
+
+
+def test_kappa_rk4_exact_parity(fixtures_dir):
+    """Kappa electron population (M 43-54), including the reproduced
+    reference quirk that unpolarized runs get zero kappa absorption
+    (kappa_aa_high_i only initialized under image_polarization)."""
+    cfg, image = render(fixtures_dir, "golden_plasma_kap_rk4_32.input")
+    I = image["I_nu"][:, 0].reshape(32, 32)
+    gold = np.load(fixtures_dir / "golden_plasma_kap_rk4_32.npz")["I_nu"]
+    np.testing.assert_allclose(I, gold, rtol=1e-8)
+
+
+def test_plasma_mix_polarized_parity(fixtures_dir):
+    """Thermal+power-law+kappa mixture through the polarized transfer."""
+    cfg = read_config(str(fixtures_dir / "golden_plasma_mix_pol_rk4_32.input"))
+    cfg.simulation_file = str(fixtures_dir / "mock_small.athdf")
+    image, rays, freqs, mass = render_simulation_image(cfg)
+    gold = np.load(fixtures_dir / "golden_plasma_mix_pol_rk4_32.npz")
+    iscale = np.nanmax(np.abs(gold["I_nu"]))
+    for k, tol in (("I_nu", 1e-7), ("Q_nu", 1e-3), ("U_nu", 1e-3), ("V_nu", 1e-3)):
+        ours = image[k][:, 0].reshape(32, 32)
+        rel = np.abs(ours - gold[k]) / (np.abs(gold[k]) + iscale * 1e-8)
+        assert np.nanmax(rel) < tol, f"{k}: {np.nanmax(rel)}"
+
+
+def test_thermal_tau_parity(fixtures_dir):
+    cfg, image = render(fixtures_dir, "golden_sim_rk4_32.input", image_tau=True)
+    gold = np.load(fixtures_dir / "golden_sim_tau_rk4_32.npz")["tau"]
+    ours = image["tau"][:, 0].reshape(32, 32)
+    np.testing.assert_allclose(ours, gold, rtol=1e-8)
