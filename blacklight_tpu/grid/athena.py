@@ -35,6 +35,24 @@ class SimulationGrid:
     x3v: jnp.ndarray
     ind: dict
     time: float
+    # Coordinate system of the face/center arrays: "sks" (spherical
+    # Kerr-Schild, incl. FMKS native via sks_map below) or "cks"
+    # (AthenaK Cartesian Kerr-Schild, x1=x/x2=y/x3=z).
+    coords: str = "sks"
+    # FMKS grids keep native (x^1, x^2) coordinate arrays; the sampler maps
+    # SKS (r, theta) -> native via this lookup table (the reference's
+    # sks_map, simulation_geometry.cpp:330-407 / simulation_sampling.cpp:
+    # 397-412). None for grids whose coordinate arrays are already SKS.
+    sks_map: Optional[jnp.ndarray] = None   # (2, n2, n1): x1, x2 at uniform (r, th)
+    map_r_in: float = 0.0
+    map_dr: float = 0.0
+    map_dtheta: float = 0.0
+    # SKS-coordinate domain bounds (r/th/ph min,max) for the off-grid test
+    # in the FMKS case (simulation_geometry.cpp:47-58). None: use face arrays.
+    bounds: Optional[tuple] = None
+    # Slow light: when set, prim has a leading time axis (T, nvar, ...) and
+    # times holds the (decreasing) slice times (simulation_reader.cpp:211-303)
+    times: Optional[jnp.ndarray] = None
 
     @property
     def n_blocks(self):

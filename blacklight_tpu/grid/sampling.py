@@ -36,6 +36,10 @@ class SamplerOptions:
     fallback_pgas: float = 0.0
     fallback_kappa: float = 0.0
     has_kappa: bool = False
+    # Slow light (simulation_sampling.cpp:297-349): camera time of the
+    # snapshot being rendered, and whether to interpolate between slices
+    snapshot_time: float = 0.0
+    slow_interp: bool = False
 
 
 def _locate(xf_row, xv_row, x):
@@ -71,11 +75,67 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
       plus "off_grid" (B,) bool. NaN/fallback already applied.
     """
     x, y, z = pos[..., 1], pos[..., 2], pos[..., 3]
-    r, th, ph = sks.cks_to_sks(x, y, z, spin)
+    if grid.coords == "cks":
+        # AthenaK: simulation coordinates ARE CKS; no conversion
+        # (radiation_geometry.cpp:37-41 identity branch)
+        r, th, ph = x, y, z
+    else:
+        r, th, ph = sks.cks_to_sks(x, y, z, spin)
 
-    nvar, n_b, n_k, n_j, n_i = grid.prim.shape
+    slow = grid.times is not None
+    if slow:
+        n_t, nvar, n_b, n_k, n_j, n_i = grid.prim.shape
+        # Per-sample time slice selection (simulation_sampling.cpp:297-349):
+        # times decrease with index; idx = first slice at or before x0
+        times = grid.times
+        x0 = pos[..., 0] + opts.snapshot_time
+        idx = jnp.searchsorted(-times, -x0, side="left")
+        if opts.slow_interp:
+            t_lo = jnp.clip(idx - 1, 0, n_t - 2)
+            t_frac = (x0 - times[t_lo]) / (times[t_lo + 1] - times[t_lo])
+            # Extrapolation clamps (camera side: hold slice 0; source side:
+            # frac = 1 at the oldest pair)
+            t_lo = jnp.where(x0 >= times[0], 0, t_lo)
+            t_frac = jnp.where(x0 >= times[0], 0.0, t_frac)
+            t_lo = jnp.where(x0 <= times[-1], n_t - 2, t_lo)
+            t_frac = jnp.where(x0 <= times[-1], 1.0, t_frac)
+        else:
+            # Nearest slice (simulation_sampling.cpp:343-346)
+            t_sel = jnp.clip(idx, 0, n_t - 1)
+            prev_closer = (times[jnp.maximum(t_sel - 1, 0)] - x0) \
+                <= (x0 - times[t_sel])
+            t_sel = jnp.where((t_sel > 0) & prev_closer, t_sel - 1, t_sel)
+            t_lo, t_frac = t_sel, None
+    else:
+        nvar, n_b, n_k, n_j, n_i = grid.prim.shape
 
-    if n_b == 1:
+    if grid.sks_map is not None:
+        # FMKS: off-grid test in SKS via precomputed domain bounds
+        # (simulation_sampling.cpp:192-197), then map (r, theta) to native
+        # (x^1, x^2) by bilinear lookup in the inverse table
+        # (simulation_sampling.cpp:397-412; bilinear here where the
+        # reference interpolates x^1 in r only and x^2 in theta only).
+        r_lo, r_hi, th_lo, th_hi, ph_lo, ph_hi = grid.bounds
+        off_grid = ((r < r_lo) | (r > r_hi) | (th < th_lo) | (th > th_hi)
+                    | (ph < ph_lo) | (ph > ph_hi))
+        n2m, n1m = grid.sks_map.shape[1], grid.sks_map.shape[2]
+        fi = (r - grid.map_r_in) / grid.map_dr
+        fj = th / grid.map_dtheta
+        i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, n1m - 2)
+        j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, n2m - 2)
+        wi = jnp.clip(fi - i0, 0.0, 1.0)
+        wj = jnp.clip(fj - j0, 0.0, 1.0)
+        q1 = ((1 - wi) * grid.sks_map[0, j0, i0]
+              + wi * grid.sks_map[0, j0, i0 + 1])
+        q2 = ((1 - wj) * ((1 - wi) * grid.sks_map[1, j0, i0]
+                          + wi * grid.sks_map[1, j0, i0 + 1])
+              + wj * ((1 - wi) * grid.sks_map[1, j0 + 1, i0]
+                      + wi * grid.sks_map[1, j0 + 1, i0 + 1]))
+        b = jnp.zeros(r.shape, dtype=jnp.int32)
+        i, i_m, f_i = _locate(grid.x1f[0], grid.x1v[0], q1)
+        j, j_m, f_j = _locate(grid.x2f[0], grid.x2v[0], q2)
+        k, k_m, f_k = _locate(grid.x3f[0], grid.x3v[0], ph)
+    elif n_b == 1:
         b = jnp.zeros(r.shape, dtype=jnp.int32)
         x1f, x1v = grid.x1f[0], grid.x1v[0]
         x2f, x2v = grid.x2f[0], grid.x2v[0]
@@ -107,13 +167,26 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
     j_m = jnp.clip(j_m, 0, n_j - 2)
     k_m = jnp.clip(k_m, 0, n_k - 2)
 
-    prim_flat = grid.prim.reshape(nvar, -1)
-
     def flat_index(kk, jj, ii):
         return ((b * n_k + kk) * n_j + jj) * n_i + ii
 
-    def corner(kk, jj, ii):
-        return prim_flat[:, flat_index(kk, jj, ii)]  # (nvar, B)
+    if slow:
+        prim_flat = grid.prim.reshape(n_t, nvar, -1)
+
+        def corner(kk, jj, ii):
+            fi = flat_index(kk, jj, ii)
+            if opts.slow_interp:
+                v0 = prim_flat[t_lo, :, fi]        # (B, nvar)
+                v1 = prim_flat[t_lo + 1, :, fi]
+                v = (1.0 - t_frac)[:, None] * v0 + t_frac[:, None] * v1
+            else:
+                v = prim_flat[t_lo, :, fi]
+            return v.T                             # (nvar, B)
+    else:
+        prim_flat = grid.prim.reshape(nvar, -1)
+
+        def corner(kk, jj, ii):
+            return prim_flat[:, flat_index(kk, jj, ii)]  # (nvar, B)
 
     if opts.interp:
         c_mmm = corner(k_m, j_m, i_m)

@@ -78,12 +78,16 @@ class CutParams:
     beta_inverse_max: float = -1.0
 
 
-def fluid_state(pos, samples, spin, plasma: PlasmaParams, rho_unit: float):
+def fluid_state(pos, samples, spin, plasma: PlasmaParams, rho_unit: float,
+                coords: str = "sks"):
     """Construct the CGS fluid state and CKS 4-vectors at sample points.
 
-    Mirrors simulation_coefficients.cpp:287-358 (units, u^mu/b^mu in SKS,
-    electron temperature) plus the Jacobian transform to CKS (:397-431),
-    assuming the simulation is in SKS coordinates.
+    Mirrors simulation_coefficients.cpp:287-358 (units, u^mu/b^mu in
+    simulation coordinates, electron temperature) plus the Jacobian
+    transform to CKS (:397-431). coords selects the simulation coordinate
+    system: "sks" (scalarized sparse-metric path) or "cks" (AthenaK; the
+    simulation metric IS the geodesic metric, radiation_geometry.cpp:
+    425-458, and no Jacobian applies).
 
     Returns dict with n_e_cgs, bb_cgs, sigma, beta_inv, theta_e, kb_tt_e_cgs,
     rho_cgs, pgas_cgs, ucon (B,4) CKS, bcon (B,4) CKS, and b_sq.
@@ -103,17 +107,38 @@ def fluid_state(pos, samples, spin, plasma: PlasmaParams, rho_unit: float):
     n_cgs = rho_cgs / (plasma.mu * Physics.m_p)
     n_e_cgs = n_cgs / (1.0 + 1.0 / plasma.ne_ni)
 
-    m = sks.sks_metric(x, y, z, spin)
-    ut, ur, uth, uph = sks.normal_frame_velocity(m, uu1, uu2, uu3)
-    ucov_t, ucov_r, ucov_th, ucov_ph = sks.lower_sks(m, ut, ur, uth, uph)
+    if coords == "cks":
+        # Normal-frame velocity + cell-frame B directly in CKS
+        # (simulation_coefficients.cpp:296-328 with the CKS branch of the
+        # simulation metric)
+        g_cov, g_con = geometry.gcov_gcon(pos[..., 1:], spin)
+        uu = jnp.stack([uu1, uu2, uu3], axis=-1)
+        uu0 = jnp.sqrt(1.0 + jnp.einsum("...ij,...i,...j->...",
+                                        g_cov[..., 1:, 1:], uu, uu))
+        lapse = 1.0 / jnp.sqrt(-g_con[..., 0, 0])
+        shift = -g_con[..., 0, 1:] / g_con[..., 0, 0:1]
+        ut = uu0 / lapse
+        u_sp = uu - shift * (uu0 / lapse)[..., None]
+        ucon = jnp.concatenate([ut[..., None], u_sp], axis=-1)
+        ucov = jnp.einsum("...ij,...j->...i", g_cov, ucon)
+        bb = jnp.stack([bb1, bb2, bb3], axis=-1)
+        bt = jnp.einsum("...i,...i->...", ucov[..., 1:], bb)
+        b_sp = (bb + bt[..., None] * ucon[..., 1:]) / ut[..., None]
+        bcon = jnp.concatenate([bt[..., None], b_sp], axis=-1)
+        bcov = jnp.einsum("...ij,...j->...i", g_cov, bcon)
+        b_sq = jnp.einsum("...i,...i->...", bcov, bcon)
+    else:
+        m = sks.sks_metric(x, y, z, spin)
+        ut, ur, uth, uph = sks.normal_frame_velocity(m, uu1, uu2, uu3)
+        ucov_t, ucov_r, ucov_th, ucov_ph = sks.lower_sks(m, ut, ur, uth, uph)
 
-    # b^mu from cell-frame field (simulation_coefficients.cpp:315-328)
-    bt = ucov_r * bb1 + ucov_th * bb2 + ucov_ph * bb3
-    br = (bb1 + bt * ur) / ut
-    bth = (bb2 + bt * uth) / ut
-    bph = (bb3 + bt * uph) / ut
-    bcov_t, bcov_r, bcov_th, bcov_ph = sks.lower_sks(m, bt, br, bth, bph)
-    b_sq = bcov_t * bt + bcov_r * br + bcov_th * bth + bcov_ph * bph
+        # b^mu from cell-frame field (simulation_coefficients.cpp:315-328)
+        bt = ucov_r * bb1 + ucov_th * bb2 + ucov_ph * bb3
+        br = (bb1 + bt * ur) / ut
+        bth = (bb2 + bt * uth) / ut
+        bph = (bb3 + bt * uph) / ut
+        bcov_t, bcov_r, bcov_th, bcov_ph = sks.lower_sks(m, bt, br, bth, bph)
+        b_sq = bcov_t * bt + bcov_r * br + bcov_th * bth + bcov_ph * bph
     bb_cgs = jnp.sqrt(jnp.maximum(b_sq, 0.0)) * b_unit
     sigma = b_sq / rho
     beta_inv = b_sq / (2.0 * pgas)
@@ -139,11 +164,12 @@ def fluid_state(pos, samples, spin, plasma: PlasmaParams, rho_unit: float):
         theta_e = 0.2 * (jnp.sqrt(1.0 + 25.0 * rho_kappa_e_cbrt ** 2) - 1.0)
         kb_tt_e_cgs = theta_e * Physics.m_e * Physics.c ** 2
 
-    # Transform u, b to CKS (Jacobian, radiation_geometry.cpp:94-126)
-    ux, uy, uz = sks.sks_to_cks_vector(ur, uth, uph, x, y, z, spin)
-    bx, by, bz = sks.sks_to_cks_vector(br, bth, bph, x, y, z, spin)
-    ucon = jnp.stack([ut, ux, uy, uz], axis=-1)
-    bcon = jnp.stack([bt, bx, by, bz], axis=-1)
+    if coords != "cks":
+        # Transform u, b to CKS (Jacobian, radiation_geometry.cpp:94-126)
+        ux, uy, uz = sks.sks_to_cks_vector(ur, uth, uph, x, y, z, spin)
+        bx, by, bz = sks.sks_to_cks_vector(br, bth, bph, x, y, z, spin)
+        ucon = jnp.stack([ut, ux, uy, uz], axis=-1)
+        bcon = jnp.stack([bt, bx, by, bz], axis=-1)
 
     return dict(rho_cgs=rho_cgs, pgas_cgs=pgas_cgs, n_e_cgs=n_e_cgs,
                 bb_cgs=bb_cgs, sigma=sigma, beta_inv=beta_inv,

@@ -84,7 +84,9 @@ def assemble_npz_arrays(cfg, image_dict, *, mass_msun: float, frequencies,
     num_levels = len(adaptive_levels) if adaptive_levels else 0
     out["adaptive_num_levels"] = np.array([num_levels], dtype=np.int32)
     if cfg.require("adaptive_max_level") > 0:
-        counts = [1] + [lvl["num_blocks"] for lvl in (adaptive_levels or [])]
+        linear = res // cfg.require("adaptive_block_size")
+        counts = [linear * linear] \
+            + [lvl["num_blocks"] for lvl in (adaptive_levels or [])]
         out["adaptive_num_blocks"] = np.array(counts, dtype=np.int32)
 
     def reshape_freq(arr):
@@ -133,6 +135,52 @@ def assemble_npz_arrays(cfg, image_dict, *, mass_msun: float, frequencies,
             if key in ("block_locs", "num_blocks"):
                 continue
             out[f"adaptive_{key}_{level}"] = np.asarray(arr)
+    return out
+
+
+def shape_adaptive_level(cfg, image_dict, num_blocks: int, block_size: int,
+                         camera_rays=None, rendering=None) -> dict:
+    """Reshape one adaptive level's pixel-bundle images into the
+    block-shaped arrays the reference writes (numpy_format.cpp:291-527,
+    shapes set in output_writer.cpp:182-246): pixel axis becomes
+    (num_blocks, block_size, block_size)."""
+    num_freq = cfg.require("image_num_frequencies")
+    bs = block_size
+    out = {}
+
+    def reshape_freq(arr):
+        a = np.asarray(arr)
+        if num_freq == 1:
+            return a[:, 0].reshape(num_blocks, bs, bs)
+        return np.moveaxis(a, -1, 0).reshape(num_freq, num_blocks, bs, bs)
+
+    if cfg.require("output_camera") and camera_rays is not None:
+        if cfg.require("camera_type") == CameraType.plane:
+            out["positions"] = np.asarray(
+                camera_rays.positions).reshape(num_blocks, bs, bs, 4)
+        else:
+            out["directions"] = np.asarray(
+                camera_rays.directions).reshape(num_blocks, bs, bs, 4)
+    if cfg.require("image_light") and "I_nu" in image_dict:
+        out["I_nu"] = reshape_freq(image_dict["I_nu"])
+        for stokes in ("Q_nu", "U_nu", "V_nu"):
+            if stokes in image_dict:
+                out[stokes] = reshape_freq(image_dict[stokes])
+    for key in ("time", "length", "crossings"):
+        if key in image_dict:
+            out[key] = np.asarray(image_dict[key]).reshape(num_blocks, bs, bs)
+    for key in ("lambda", "emission", "tau"):
+        if key in image_dict:
+            out[key] = reshape_freq(image_dict[key])
+    for prefix in ("lambda_ave", "emission_ave", "tau_int"):
+        if prefix in image_dict:
+            arr = np.asarray(image_dict[prefix])  # (num_pix, F, C)
+            for c, name in enumerate(CELL_VALUE_NAMES):
+                out[f"{prefix}_{name}"] = reshape_freq(arr[..., c])
+    if rendering is not None:
+        n_img = rendering.shape[0]
+        out["rendering"] = np.asarray(rendering).reshape(
+            n_img, 3, num_blocks, bs, bs)
     return out
 
 

@@ -73,52 +73,170 @@ def bh_mass_spin(cfg):
     return 1.0, bh_a, mass_msun
 
 
+def make_formula_renderer(cfg, early_exit: bool = True):
+    """Build a reusable unpolarized formula-model renderer.
+
+    Returns (render_fn, geom, rays, frequencies, mass_msun) where
+    render_fn(positions, directions, momentum_factors) renders any pixel
+    bundle (root camera or adaptive child blocks) to a NumPy image dict.
+    """
+    dtype = compute_dtype(cfg)
+    bh_m, bh_a, mass_msun = bh_mass_spin(cfg)
+    geom, rays, frequencies = make_camera(cfg, bh_m=bh_m, bh_a=bh_a, dtype=dtype)
+    params = geodesic_params_from_config(cfg, bh_m, bh_a)
+    fparams = formula_model.formula_params_from_config(cfg)
+    opts = ImageOptions.from_config(cfg)
+    camera_x = geom.cam_x
+
+    def render_fn(positions, directions, momentum_factors, stored=None):
+        def coeff_fn(pos, kcov, mom=momentum_factors):
+            j, alpha, _ = formula_model.formula_coefficients(
+                pos, kcov, mom, frequencies, fparams, camera_x)
+            return j, alpha
+
+        fused = jax.jit(functools.partial(
+            integrate_unpolarized, params=params, coeff_fn=coeff_fn, opts=opts,
+            mass_msun=mass_msun, camera_x=camera_x, early_exit=early_exit,
+            log_j_scale=formula_model.formula_log_j_scale(fparams),
+            stored=stored))
+        image = fused(positions, directions, momentum_factors, frequencies)
+        return jax.tree.map(lambda a: np.asarray(a), image)
+
+    render_fn.geodesic_params = params
+    return render_fn, geom, rays, frequencies, mass_msun
+
+
 def render_formula_image(cfg, *, positions=None, directions=None,
                          momentum_factors=None, early_exit: bool = True):
     """Unpolarized formula-model image over the root (or given) pixel bundle.
 
     Returns (image_dict, camera_rays, frequencies, mass_msun).
     """
-    dtype = compute_dtype(cfg)
-    bh_m, bh_a, mass_msun = bh_mass_spin(cfg)
-    geom, rays, frequencies = make_camera(cfg, bh_m=bh_m, bh_a=bh_a, dtype=dtype)
+    render_fn, geom, rays, frequencies, mass_msun = make_formula_renderer(
+        cfg, early_exit=early_exit)
     if positions is None:
         positions = rays.positions
         directions = rays.directions
         momentum_factors = rays.momentum_factors
-    params = geodesic_params_from_config(cfg, bh_m, bh_a)
-    fparams = formula_model.formula_params_from_config(cfg)
-    opts = ImageOptions.from_config(cfg)
-    camera_x = geom.cam_x
-
-    def coeff_fn(pos, kcov, mom=momentum_factors):
-        j, alpha, _ = formula_model.formula_coefficients(
-            pos, kcov, mom, frequencies, fparams, camera_x)
-        return j, alpha
-
-    fused = jax.jit(functools.partial(
-        integrate_unpolarized, params=params, coeff_fn=coeff_fn, opts=opts,
-        mass_msun=mass_msun, camera_x=camera_x, early_exit=early_exit,
-        log_j_scale=formula_model.formula_log_j_scale(fparams)))
-    image = fused(positions, directions, momentum_factors, frequencies)
-    image = jax.tree.map(lambda a: np.asarray(a), image)
+    image = render_fn(positions, directions, momentum_factors)
     return image, rays, frequencies, mass_msun
 
 
+def adaptive_loop(cfg, render_fn, geom, root_image):
+    """Adaptive refinement driver (reference blacklight.cpp:198-236 loop):
+    evaluate blocks at each level, respawn 4 children per flagged block at
+    doubled resolution, re-render only the new pixels.
+
+    Returns the list of per-level dicts consumed by assemble_npz_arrays.
+    """
+    from blacklight_tpu import adaptive as ad
+    from blacklight_tpu.camera import block_pixel_grid, init_pixels
+    from blacklight_tpu.output import shape_adaptive_level
+
+    p_ad = ad.AdaptiveParams.from_config(cfg)
+    if p_ad.max_level == 0:
+        return []
+    res = cfg.require("camera_resolution")
+    width = cfg.require("camera_width")
+    freq_idx = p_ad.frequency_num - 1
+    bs = p_ad.block_size
+    bh_m, bh_a, _ = bh_mass_spin(cfg)
+    dtype = compute_dtype(cfg)
+
+    def criteria_intensity(image):
+        # I_nu at the adaptive frequency; Stokes I when polarized
+        # (radiation_adaptive.cpp:72-77)
+        return np.asarray(image["I_nu"])[:, freq_idx]
+
+    locs = ad.root_block_locs(res, bs)
+    blocks = ad.extract_root_blocks(criteria_intensity(root_image), res, bs)
+    levels = []
+    level = 0
+    while level < p_ad.max_level:
+        flags = ad.check_refinement(blocks, locs, level, res, width, p_ad)
+        if not flags.any():
+            break
+        locs = ad.child_block_locs(locs, flags)
+        level += 1
+        eff_res = res * (1 << level)
+        u_ind, v_ind = block_pixel_grid(locs[:, 1], locs[:, 0], bs, eff_res,
+                                        dtype=dtype)
+        child_rays = init_pixels(
+            geom, u_ind, v_ind, camera_type=cfg.require("camera_type"),
+            bh_m=bh_m, bh_a=bh_a, camera_width=width,
+            camera_r=cfg.require("camera_r"),
+            image_normalization=cfg.require("image_normalization"),
+            ray_flat=cfg.require("ray_flat"))
+        image_l = render_fn(child_rays.positions, child_rays.directions,
+                            child_rays.momentum_factors)
+        n_blocks = locs.shape[0]
+        rendering = None
+        if "rendering" in image_l:
+            rendering = np.transpose(np.asarray(image_l["rendering"]),
+                                     (1, 2, 0))
+        lvl = {"num_blocks": n_blocks, "block_locs": locs}
+        lvl.update(shape_adaptive_level(cfg, image_l, n_blocks, bs,
+                                        camera_rays=child_rays,
+                                        rendering=rendering))
+        levels.append(lvl)
+        blocks = ad.blocks_from_bundle(criteria_intensity(image_l),
+                                       n_blocks, bs)
+    return levels
+
+
 def run(cfg, snapshot: Optional[int] = None, quiet: bool = False) -> dict:
-    """Full run for one snapshot (formula model path).
+    """Full run for one snapshot.
 
     Returns the dict of named output arrays written to disk.
     """
+    from blacklight_tpu import checkpoint as ckpt
+
     validate_output_options(cfg)
+    ckpt.validate_checkpoint_options(cfg)
     model = cfg.require("model_type")
     t0 = time.time()
     if model == ModelType.formula:
-        image, rays, frequencies, mass_msun = render_formula_image(cfg)
+        render_fn, geom, rays, frequencies, mass_msun = make_formula_renderer(cfg)
     else:
-        from blacklight_tpu.pipeline_simulation import render_simulation_image
-        image, rays, frequencies, mass_msun = render_simulation_image(
+        from blacklight_tpu.pipeline_simulation import make_simulation_renderer
+        render_fn, geom, rays, frequencies, mass_msun = make_simulation_renderer(
             cfg, snapshot=snapshot)
+
+    # Checkpoints apply to the root-level bundle only, like the reference's
+    # level-0 arrays (geodesic_checkpoint.cpp:28-59)
+    stored = None
+    if cfg.require("checkpoint_geodesic_load"):
+        stored = ckpt.load_geodesics(cfg.require("checkpoint_geodesic_file"),
+                                     dtype=compute_dtype(cfg))
+    elif cfg.require("checkpoint_geodesic_save"):
+        stored = ckpt.trace_and_save_geodesics(
+            cfg.require("checkpoint_geodesic_file"), rays.positions,
+            rays.directions, rays.momentum_factors, render_fn.geodesic_params)
+    stored_prims = None
+    if model == ModelType.simulation and (cfg.checkpoint_sample_load
+                                          or cfg.checkpoint_sample_save):
+        if stored is None:
+            import jax as _jax
+            from blacklight_tpu.ops import geodesic as _geo
+            samples, flags, n_samples = _jax.jit(
+                lambda p, d: _geo.trace_geodesics(
+                    p, d, render_fn.geodesic_params))(
+                        rays.positions, rays.directions)
+            stored = (_geo.compact_samples(samples), flags, n_samples)
+        if cfg.checkpoint_sample_load:
+            stored_prims = ckpt.load_samples(cfg.require("checkpoint_sample_file"))
+        else:
+            stored_prims = render_fn.sample_stored(stored)
+            ckpt.save_samples(cfg.require("checkpoint_sample_file"), stored_prims)
+
+    kwargs = {}
+    if stored is not None:
+        kwargs["stored"] = stored
+    if stored_prims is not None:
+        kwargs["stored_prims"] = stored_prims
+    image = render_fn(rays.positions, rays.directions, rays.momentum_factors,
+                      **kwargs)
+    adaptive_levels = adaptive_loop(cfg, render_fn, geom, image)
     t_image = time.time() - t0
 
     n_bad = int(np.sum(image["_flags"]))
@@ -132,8 +250,17 @@ def run(cfg, snapshot: Optional[int] = None, quiet: bool = False) -> dict:
         rendering = np.transpose(np.asarray(image["rendering"]), (1, 2, 0))
     arrays = assemble_npz_arrays(cfg, image, mass_msun=mass_msun,
                                  frequencies=frequencies, camera_rays=rays,
-                                 rendering=rendering)
-    path = format_filename(cfg.require("output_file"), snapshot)
+                                 rendering=rendering,
+                                 adaptive_levels=adaptive_levels)
+    # Output numbering: snapshot + slow_offset (slow light) or
+    # + simulation_start (multiple files) (output_writer.cpp:248-254)
+    file_number = snapshot
+    if snapshot is not None and model == ModelType.simulation \
+            and cfg.require("simulation_multiple"):
+        file_number = snapshot + (cfg.require("slow_offset")
+                                  if bool(cfg.slow_light_on)
+                                  else cfg.require("simulation_start"))
+    path = format_filename(cfg.require("output_file"), file_number)
     # npy/raw need the packed (quantities, res, res) image block
     res = cfg.require("camera_resolution")
     packed = None

@@ -77,11 +77,9 @@ def cut_params_from_config(cfg) -> synchrotron.CutParams:
         beta_inverse_max=cfg.require("cut_beta_inverse_max"))
 
 
-def load_grid(cfg, snapshot: Optional[int] = None, dtype=jnp.float64):
+def load_grid_file(cfg, path: str, dtype=jnp.float64):
+    """Load one snapshot file in the configured format."""
     fmt = cfg.require("simulation_format")
-    path = cfg.require("simulation_file")
-    if cfg.require("simulation_multiple") and snapshot is not None:
-        path = format_filename(path, snapshot)
     kappa_name = None
     if cfg.require("plasma_model") == PlasmaModel.code_kappa:
         kappa_name = cfg.require("simulation_kappa_name")
@@ -89,8 +87,12 @@ def load_grid(cfg, snapshot: Optional[int] = None, dtype=jnp.float64):
         return load_athdf(path, kappa_name=kappa_name, dtype=dtype)
     if fmt == SimulationFormat.athenak:
         from blacklight_tpu.grid.athenak import load_athenak
+        expected = {"a": cfg.require("simulation_a"),
+                    "bhmass_msun": cfg.require("simulation_m_msun"),
+                    "density_cgs": cfg.require("simulation_rho_cgs"),
+                    "mu": cfg.require("plasma_mu")}
         return load_athenak(path, kappa_name=kappa_name, dtype=dtype,
-                            plasma_gamma=cfg.plasma_gamma)
+                            plasma_gamma=cfg.plasma_gamma, expected=expected)
     if fmt == SimulationFormat.iharm3d:
         from blacklight_tpu.grid.iharm3d import load_iharm3d
         return load_iharm3d(path, cfg, dtype=dtype)
@@ -98,26 +100,51 @@ def load_grid(cfg, snapshot: Optional[int] = None, dtype=jnp.float64):
     return load_harm3d(path, cfg, dtype=dtype)
 
 
-def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
-                              *, polarized: bool = False):
-    """Build (coeff_fn, cell_fn) closures for the fused transfer scans."""
-    from blacklight_tpu.constants import Coordinates
+def load_grid(cfg, snapshot: Optional[int] = None, dtype=jnp.float64):
+    """Load the snapshot (or slow-light window) for one output run.
 
-    spin = cfg.require("simulation_a")
-    if cfg.require("simulation_coord") not in (Coordinates.sks, Coordinates.fmks):
-        raise BlacklightError(
-            "Only sks/fmks simulation coordinates are supported so far.")
-    rho_unit = cfg.require("simulation_rho_cgs")
-    plasma = plasma_params_from_config(cfg)
-    cuts_val = cut_params_from_config(cfg)
-    cuts_geo = GeometricCuts.from_config(cfg)
-    sampler_opts = SamplerOptions(
+    Returns (grid, snapshot_time); snapshot_time is 0 without slow light.
+    """
+    if cfg.require("simulation_multiple") and bool(cfg.slow_light_on):
+        from blacklight_tpu.grid.slowlight import load_slow_window
+        return load_slow_window(cfg, snapshot or 0, dtype=dtype)
+    path = cfg.require("simulation_file")
+    if cfg.require("simulation_multiple") and snapshot is not None:
+        # Input files are numbered from simulation_start
+        # (simulation_reader.cpp:305-307)
+        path = format_filename(path, cfg.require("simulation_start") + snapshot)
+    return load_grid_file(cfg, path, dtype=dtype), 0.0
+
+
+def _sampler_options(cfg, snapshot_time: float = 0.0) -> SamplerOptions:
+    return SamplerOptions(
         interp=cfg.require("simulation_interp"),
         fallback_nan=cfg.require("fallback_nan"),
         fallback_rho=cfg.fallback_rho or 0.0,
         fallback_pgas=cfg.fallback_pgas or 0.0,
         fallback_kappa=cfg.fallback_kappa or 0.0,
-        has_kappa=plasma.model == PlasmaModel.code_kappa)
+        has_kappa=cfg.require("plasma_model") == PlasmaModel.code_kappa,
+        snapshot_time=snapshot_time,
+        slow_interp=bool(cfg.slow_interp) if bool(cfg.slow_light_on) else False)
+
+
+def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
+                              *, polarized: bool = False,
+                              snapshot_time: float = 0.0):
+    """Build (coeff_fn, cell_fn) closures for the fused transfer scans."""
+    from blacklight_tpu.constants import Coordinates
+
+    spin = cfg.require("simulation_a")
+    sim_coords = "cks" if cfg.require("simulation_coord") == Coordinates.cks \
+        else "sks"
+    if grid.coords != sim_coords:
+        raise BlacklightError(
+            "simulation_coord does not match the loaded grid's coordinates.")
+    rho_unit = cfg.require("simulation_rho_cgs")
+    plasma = plasma_params_from_config(cfg)
+    cuts_val = cut_params_from_config(cfg)
+    cuts_geo = GeometricCuts.from_config(cfg)
+    sampler_opts = _sampler_options(cfg, snapshot_time)
     nu0 = float(np.asarray(frequencies)[0])
     camera_x = geom.cam_x
     pl_consts = synchrotron.powerlaw_constants(plasma) \
@@ -125,8 +152,9 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
     kp_consts = synchrotron.kappa_constants(plasma, polarized=polarized) \
         if plasma.kappa_frac != 0.0 else None
 
-    def state_at(pos):
-        samples = sample_grid(grid, pos, spin, sampler_opts)
+    def state_at(pos, prims=None):
+        samples = sample_grid(grid, pos, spin, sampler_opts) \
+            if prims is None else dict(prims)
         keep_geo = geometric_keep(pos, spin, camera_x, cuts_geo)
         if polarized:
             # The reference's sampler never assigns values at geometrically
@@ -136,14 +164,15 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
             samples = {k: (jnp.where(keep_geo, v, 0.0)
                            if k != "off_grid" else v)
                        for k, v in samples.items()}
-        state = synchrotron.fluid_state(pos, samples, spin, plasma, rho_unit)
+        state = synchrotron.fluid_state(pos, samples, spin, plasma, rho_unit,
+                                        coords=sim_coords)
         keep_val = synchrotron.value_cuts(state, cuts_val)
         b_zero = ((samples["bb1"] == 0.0) & (samples["bb2"] == 0.0)
                   & (samples["bb3"] == 0.0))
         return state, keep_geo, keep_val, b_zero
 
-    def coeff_fn(pos, kcov, momentum_factors=momentum_factors):
-        state, keep_geo, keep_val, b_zero = state_at(pos)
+    def coeff_fn(pos, kcov, momentum_factors=momentum_factors, prims=None):
+        state, keep_geo, keep_val, b_zero = state_at(pos, prims)
         sin_b, cos_b, sin2_b, u_dot_k = synchrotron.pitch_angle(
             pos, kcov, state, spin)
         nu_cgs = -u_dot_k[..., None] * frequencies[None, :] \
@@ -165,8 +194,8 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
             return out
         return out["j_i"], out["alpha_i"]
 
-    def cell_fn(pos, kcov):
-        state, keep_geo, keep_val, _ = state_at(pos)
+    def cell_fn(pos, kcov, prims=None):
+        state, keep_geo, keep_val, _ = state_at(pos, prims)
         cells = synchrotron.cell_values(state)
         keep = (keep_geo & keep_val)[..., None]
         return jnp.where(keep, cells, jnp.nan)
@@ -175,58 +204,87 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
     return coeff_fn, cell_fn, log_scale
 
 
+def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
+                             early_exit: bool = True):
+    """Build a reusable simulation-model renderer.
+
+    Returns (render_fn, geom, rays, frequencies, mass_msun) where
+    render_fn(positions, directions, momentum_factors) renders any pixel
+    bundle (root camera or adaptive child blocks) to a NumPy image dict.
+    """
+    from blacklight_tpu import pipeline
+
+    dtype = pipeline.compute_dtype(cfg)
+    bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
+    grid, snapshot_time = load_grid(cfg, snapshot=snapshot, dtype=dtype)
+    geom, rays, frequencies = make_camera(cfg, bh_m=bh_m, bh_a=bh_a, dtype=dtype)
+    params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
+    opts = ImageOptions.from_config(cfg)
+    polarized = bool(cfg.require("image_polarization")) if cfg.require("image_light") \
+        else False
+    any_image = (cfg.require("image_light") or opts.time or opts.length
+                 or opts.lam or opts.emission or opts.tau or opts.lambda_ave
+                 or opts.emission_ave or opts.tau_int or opts.crossings)
+
+    def sample_stored(stored):
+        """Sampled primitives at stored geodesic samples ((S, B) per var)
+        for the sampling checkpoint."""
+        spin = cfg.require("simulation_a")
+        sampler_opts = _sampler_options(cfg)
+        return jax.lax.map(
+            lambda p: sample_grid(grid, p, spin, sampler_opts),
+            stored[0].pos)
+
+    def render_fn(positions, directions, momentum_factors,
+                  stored=None, stored_prims=None):
+        coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
+            cfg, grid, geom, frequencies, momentum_factors,
+            polarized=polarized, snapshot_time=snapshot_time)
+        image = {}
+        if any_image:
+            if polarized:
+                from blacklight_tpu.transfer.polarized import integrate_polarized
+                fused = jax.jit(functools.partial(
+                    integrate_polarized, params=params, coeff_fn=coeff_fn,
+                    opts=opts, mass_msun=mass_msun, camera_x=geom.cam_x,
+                    camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
+                    camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale,
+                    rotation_split=bool(cfg.require("image_rotation_split")),
+                    stored=stored, stored_prims=stored_prims))
+            else:
+                need_cells = opts.lambda_ave or opts.emission_ave or opts.tau_int
+                fused = jax.jit(functools.partial(
+                    integrate_unpolarized, params=params, coeff_fn=coeff_fn,
+                    opts=opts, mass_msun=mass_msun, camera_x=geom.cam_x,
+                    cell_fn=cell_fn if need_cells else None,
+                    early_exit=early_exit, log_j_scale=log_scale,
+                    stored=stored, stored_prims=stored_prims))
+            image = fused(positions, directions, momentum_factors, frequencies)
+
+        if cfg.require("render_num_images") > 0:
+            from blacklight_tpu.transfer.rendering import integrate_rendering
+            rgb, flags, n_samp = jax.jit(functools.partial(
+                integrate_rendering, params=params, cell_fn=cell_fn,
+                render_images=tuple(cfg.render_images), mass_msun=mass_msun,
+                stored=stored))(positions, directions)
+            image["rendering"] = rgb
+            image.setdefault("_flags", flags)
+            image.setdefault("_n_samples", n_samp)
+
+        return jax.tree.map(lambda a: np.asarray(a), image)
+
+    render_fn.sample_stored = sample_stored
+    render_fn.geodesic_params = params
+    return render_fn, geom, rays, frequencies, mass_msun
+
+
 def render_simulation_image(cfg, snapshot: Optional[int] = None,
                             early_exit: bool = True):
     """Unpolarized (or polarized, if configured) simulation-model image.
 
     Returns (image_dict, camera_rays, frequencies, mass_msun).
     """
-    from blacklight_tpu import pipeline
-
-    dtype = pipeline.compute_dtype(cfg)
-    bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
-    grid = load_grid(cfg, snapshot=snapshot, dtype=dtype)
-    geom, rays, frequencies = make_camera(cfg, bh_m=bh_m, bh_a=bh_a, dtype=dtype)
-    params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
-    opts = ImageOptions.from_config(cfg)
-    polarized = bool(cfg.require("image_polarization")) if cfg.require("image_light") \
-        else False
-
-    coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
-        cfg, grid, geom, frequencies, rays.momentum_factors, polarized=polarized)
-
-    image = {}
-    any_image = (cfg.require("image_light") or opts.time or opts.length
-                 or opts.lam or opts.emission or opts.tau or opts.lambda_ave
-                 or opts.emission_ave or opts.tau_int or opts.crossings)
-    if any_image:
-        if polarized:
-            from blacklight_tpu.transfer.polarized import integrate_polarized
-            fused = jax.jit(functools.partial(
-                integrate_polarized, params=params, coeff_fn=coeff_fn, opts=opts,
-                mass_msun=mass_msun, camera_x=geom.cam_x,
-                camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
-                camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale,
-                rotation_split=bool(cfg.require("image_rotation_split"))))
-        else:
-            need_cells = opts.lambda_ave or opts.emission_ave or opts.tau_int
-            fused = jax.jit(functools.partial(
-                integrate_unpolarized, params=params, coeff_fn=coeff_fn, opts=opts,
-                mass_msun=mass_msun, camera_x=geom.cam_x,
-                cell_fn=cell_fn if need_cells else None,
-                early_exit=early_exit, log_j_scale=log_scale))
-        image = fused(rays.positions, rays.directions, rays.momentum_factors,
-                      frequencies)
-
-    if cfg.require("render_num_images") > 0:
-        from blacklight_tpu.transfer.rendering import integrate_rendering
-        rgb, flags, n_samp = jax.jit(functools.partial(
-            integrate_rendering, params=params, cell_fn=cell_fn,
-            render_images=tuple(cfg.render_images), mass_msun=mass_msun))(
-                rays.positions, rays.directions)
-        image["rendering"] = rgb
-        image.setdefault("_flags", flags)
-        image.setdefault("_n_samples", n_samp)
-
-    image = jax.tree.map(lambda a: np.asarray(a), image)
+    render_fn, geom, rays, frequencies, mass_msun = make_simulation_renderer(
+        cfg, snapshot=snapshot, early_exit=early_exit)
+    image = render_fn(rays.positions, rays.directions, rays.momentum_factors)
     return image, rays, frequencies, mass_msun

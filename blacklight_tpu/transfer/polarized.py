@@ -54,7 +54,8 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
                         coeff_fn: Callable, opts: ImageOptions,
                         mass_msun: float, camera_x, camera_u_con, camera_u_cov,
                         camera_vert_con_c, log_j_scale=0.0,
-                        rotation_split: bool = False):
+                        rotation_split: bool = False, stored=None,
+                        stored_prims=None):
     """Full-Stokes transfer over a pixel bundle.
 
     Args:
@@ -77,9 +78,12 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     x_unit = Physics.gg_msun * mass_msun / (Physics.c * Physics.c)
     t_unit = x_unit / Physics.c
 
-    samples, flags, n_samples = geodesic.trace_geodesics(
-        positions, directions, params)
-    samples = geodesic.compact_samples(samples)
+    if stored is not None:
+        samples, flags, n_samples = stored
+    else:
+        samples, flags, n_samples = geodesic.trace_geodesics(
+            positions, directions, params)
+        samples = geodesic.compact_samples(samples)
     s_len = samples.len.shape[0]
 
     # delta_lambda_new: the next (nearer-to-camera) sample's step, or the
@@ -112,7 +116,8 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         state["plane_sign"] = jnp.zeros(b, dtype=bool)
 
     def body(state, xs):
-        pos, kcov, dl_cur, dl_nxt, valid = xs
+        pos, kcov, dl_cur, dl_nxt, valid, prims = xs
+        coeff_extra = {} if prims is None else {"prims": prims}
         active = valid
         started = state["started"]
         first = active & ~started
@@ -137,7 +142,7 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         nn_half = state["nn_temp"] + dnn * dl_local[:, None, None, None]
 
         # Fluid state, coefficients, tetrad
-        coeffs = coeff_fn(pos, kcov)
+        coeffs = coeff_fn(pos, kcov, **coeff_extra)
         ucon = coeffs["ucon"]
         bcon = coeffs["bcon"]
         b_zero = coeffs["b_zero"]
@@ -223,7 +228,7 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         state["started"] = started | active
         return state, None
 
-    xs = (samples.pos, samples.dir, dl, dl_next, samples.valid)
+    xs = (samples.pos, samples.dir, dl, dl_next, samples.valid, stored_prims)
     state, _ = jax.lax.scan(body, state, xs, reverse=True)
 
     # Camera-frame Stokes extraction (polarized.cpp:846-949)

@@ -26,7 +26,7 @@ DELTA_TAU_MAX = 100.0
 
 def integrate_rendering(positions, directions, params: geodesic.GeodesicParams,
                         cell_fn: Callable, render_images: Sequence,
-                        mass_msun: float):
+                        mass_msun: float, stored=None):
     """Render false-color images over a pixel bundle.
 
     Args:
@@ -43,9 +43,12 @@ def integrate_rendering(positions, directions, params: geodesic.GeodesicParams,
         feat.render_type == RenderType.fill
         for img in render_images for feat in img.features)
 
-    samples, flags, n_samples = geodesic.trace_geodesics(
-        positions, directions, params)
-    samples = geodesic.compact_samples(samples)
+    if stored is not None:
+        samples, flags, n_samples = stored
+    else:
+        samples, flags, n_samples = geodesic.trace_geodesics(
+            positions, directions, params)
+        samples = geodesic.compact_samples(samples)
 
     state = {
         "rgb": jnp.zeros((b, n_images, 3), dtype),

@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from blacklight_tpu.constants import NUM_CELL_VALUES, Physics
@@ -75,7 +76,8 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
                           params: geodesic.GeodesicParams, coeff_fn: Callable,
                           opts: ImageOptions, mass_msun: float, camera_x,
                           cell_fn: Optional[Callable] = None,
-                          early_exit: bool = False, log_j_scale=0.0):
+                          early_exit: bool = False, log_j_scale=0.0,
+                          stored=None, stored_prims=None):
     """Fused geodesic + unpolarized RT over a pixel bundle.
 
     Args:
@@ -96,6 +98,13 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         I_nu/emission at the end (the transfer is linear in j, and the
         source function S = j/alpha is rescaled consistently). Passed in log
         form because the factor itself (~1e-41 CGS) underflows float32.
+      stored: optional (samples, flags, n_samples) from a geodesic
+        checkpoint (checkpoint.load_geodesics); when given the geodesic
+        integration is skipped and the scan runs over the stored (S, B)
+        sample arrays instead.
+      stored_prims: optional dict of (S, B) sampled primitive arrays from a
+        sampling checkpoint; requires stored, and coeff_fn/cell_fn must
+        accept a prims keyword.
 
     Returns:
       dict of image arrays keyed by output names ("I_nu", "time", ...),
@@ -138,11 +147,12 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         state["plane_sign"] = jnp.zeros(b, dtype=bool)
         state["sign_set"] = jnp.zeros(b, dtype=bool)
 
-    def contribution(state, sample: geodesic.Sample):
+    def contribution(state, sample: geodesic.Sample, prims=None):
         state = dict(state)
         valid = sample.valid
         validf = valid.astype(dtype)
         pos, kcov = sample.pos, sample.dir
+        extra = {} if prims is None else {"prims": prims}
         # Reference reverses geodesics flipping len sign
         # (geodesics.cpp:840); use the positive affine step directly.
         delta_lambda = -sample.len
@@ -152,9 +162,9 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
 
         if opts.light or opts.emission or opts.emission_ave or opts.tau \
                 or opts.tau_int:
-            j, alpha = coeff_fn(pos, kcov)
+            j, alpha = coeff_fn(pos, kcov, **extra)
         if need_cells:
-            cells = cell_fn(pos, kcov)  # (B, C)
+            cells = cell_fn(pos, kcov, **extra)  # (B, C)
             cells_ok = valid[:, None] & ~jnp.isnan(cells[:, 0:1])
 
         if opts.light:
@@ -233,9 +243,21 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
             state["sign_set"] = state["sign_set"] | valid
         return state
 
-    state, flags, n_samples = geodesic.streaming_reduce(
-        positions, directions, params, contribution, state,
-        early_exit=early_exit)
+    if stored is not None:
+        samples, flags, n_samples = stored
+
+        def body(st, xs):
+            if stored_prims is not None:
+                sample, prims = xs
+                return contribution(st, sample, prims), None
+            return contribution(st, xs), None
+
+        xs = (samples, stored_prims) if stored_prims is not None else samples
+        state, _ = jax.lax.scan(body, state, xs)
+    else:
+        state, flags, n_samples = geodesic.streaming_reduce(
+            positions, directions, params, contribution, state,
+            early_exit=early_exit)
 
     # Final transforms (unpolarized.cpp:176-209) + NaN poisoning of flagged rays
     out = {"_flags": flags, "_n_samples": n_samples}

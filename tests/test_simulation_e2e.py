@@ -60,7 +60,7 @@ def test_gradient_wrt_grid_density(fixtures_dir):
     cfg.ray_max_steps = 600
 
     bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
-    grid0 = load_grid(cfg)
+    grid0, _ = load_grid(cfg)
     geom, rays, freqs = make_camera(cfg, bh_m=bh_m, bh_a=bh_a)
     params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
 

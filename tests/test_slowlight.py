@@ -1,0 +1,101 @@
+"""Slow-light tests: sliding file window + per-sample time interpolation
+(reference simulation_reader.cpp:211-303, simulation_sampling.cpp:297-349).
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "scripts"))
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+import generate_mock_simulation as gen  # noqa: E402
+
+from blacklight_tpu import pipeline  # noqa: E402
+from blacklight_tpu.utils.config import parse_config  # noqa: E402
+from test_loaders import BASE_CONFIG  # noqa: E402
+
+
+def write_series(d, times, amps):
+    """Scale rho and pgas together so the electron temperature is fixed
+    and brightness grows monotonically with amp."""
+    p = dict(gen.DEFAULTS)
+    for n, (t, amp) in enumerate(zip(times, amps)):
+        pn = dict(p, time=t, rho_amp=p["rho_amp"] * amp,
+                  pgas_amp=p["pgas_amp"] * amp)
+        fields = gen.make_fields(pn)
+        gen.write_athena(str(d / f"mock.{n:05d}.athdf"), fields, pn)
+
+
+def slow_cfg(d, snapshot_template="mock.{5d}.athdf", **kv):
+    cfg = parse_config(BASE_CONFIG.format(
+        fmt="athena", path=str(d / snapshot_template), coord="sks",
+        out=str(d / "out_{5d}.npz")))
+    cfg.camera_resolution = 8
+    cfg.simulation_multiple = True
+    cfg.simulation_start = 0
+    cfg.simulation_end = kv.get("end", 3)
+    cfg.slow_light_on = True
+    cfg.slow_interp = kv.get("interp", True)
+    cfg.slow_chunk_size = kv.get("chunk", 2)
+    cfg.slow_t_start = kv.get("t_start", 0.0)
+    cfg.slow_dt = kv.get("dt", 100.0)
+    cfg.slow_num_images = kv.get("num", 1)
+    cfg.slow_offset = 0
+    cfg.num_runs = cfg.slow_num_images
+    return cfg
+
+
+def static_cfg(d, filename, **kv):
+    cfg = parse_config(BASE_CONFIG.format(
+        fmt="athena", path=str(d / filename), coord="sks",
+        out=str(d / "out_static.npz")))
+    cfg.camera_resolution = 8
+    return cfg
+
+
+def test_slow_light_identical_files_match_static(tmp_path):
+    """If every time slice holds identical data, slow light must reproduce
+    the static render exactly (window + time interpolation are exercised
+    but interpolate between equal values)."""
+    write_series(tmp_path, times=[0.0, 200.0, 400.0, 600.0],
+                 amps=[1.0, 1.0, 1.0, 1.0])
+    static = pipeline.run(static_cfg(tmp_path, "mock.00000.athdf"),
+                          quiet=True)
+    slow = pipeline.run(slow_cfg(tmp_path, t_start=600.0, dt=0.0),
+                        snapshot=0, quiet=True)
+    np.testing.assert_allclose(slow["I_nu"], static["I_nu"], rtol=1e-12)
+
+
+def test_slow_light_time_variation(tmp_path):
+    """With density growing in time, later camera times see a brighter
+    disk; nearest-slice and interpolated modes agree on the trend."""
+    write_series(tmp_path, times=[0.0, 400.0, 800.0, 1200.0],
+                 amps=[0.5, 1.0, 1.5, 2.0])
+    img0 = pipeline.run(slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2),
+                        snapshot=0, quiet=True)
+    img1 = pipeline.run(slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2),
+                        snapshot=1, quiet=True)
+    f0 = np.nansum(img0["I_nu"])
+    f1 = np.nansum(img1["I_nu"])
+    assert f1 > f0 > 0.0
+
+    nearest = pipeline.run(
+        slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2, interp=False),
+        snapshot=1, quiet=True)
+    fn = np.nansum(nearest["I_nu"])
+    assert fn > f0
+    # interpolated and nearest differ (time interpolation is active) but
+    # agree to leading order
+    assert not np.allclose(nearest["I_nu"], img1["I_nu"], rtol=1e-12)
+    assert abs(fn - f1) < 0.5 * f1
+
+
+def test_slow_light_insufficient_files_raises(tmp_path):
+    from blacklight_tpu.utils.errors import BlacklightError
+    write_series(tmp_path, times=[0.0, 200.0], amps=[1.0, 1.0])
+    cfg = slow_cfg(tmp_path, end=1, chunk=2, t_start=5000.0, dt=0.0)
+    with pytest.raises(BlacklightError):
+        pipeline.run(cfg, snapshot=0, quiet=True)
