@@ -1,5 +1,11 @@
 """Benchmark: rays/s/chip on the 1024^2 formula-model camera (fused
-geodesic + unpolarized RT, float32, single chip, pixel-chunked dispatch).
+geodesic + unpolarized RT, float32, single chip, tile-ordered dispatch).
+
+Rays dispatch in 128x128 image tiles: ray lengths correlate strongly with
+image position (photon-ring pixels orbit ~10x longer), so small spatially
+coherent bundles let the early-exit while_loop finish each bundle as soon
+as ITS longest ray ends instead of the whole image's - measured 2.5x over
+row-ordered 256k chunks on v5e.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "rays/s", "vs_baseline": N}
@@ -20,7 +26,7 @@ import time
 
 REFERENCE_RAYS_PER_S = 16384 / 46.6  # measured: reference example_formula
 RESOLUTION = 1024
-CHUNK = 256 * 1024  # rays per device dispatch
+TILE = 128  # image tile side; one dispatch per tile
 
 
 def main() -> None:
@@ -54,9 +60,9 @@ def main() -> None:
     @jax.jit
     def fused_chunk(p, d, m):
         def coeff_fn(pos, kcov):
-            j, alpha, _ = formula_model.formula_coefficients(
+            j, alpha, _, bad = formula_model.formula_coefficients(
                 pos, kcov, m, frequencies, fparams, camera_x)
-            return j, alpha
+            return j, alpha, bad
 
         return integrate_unpolarized(
             p, d, m, frequencies, params=params, coeff_fn=coeff_fn, opts=opts,
@@ -65,12 +71,21 @@ def main() -> None:
 
     n = RESOLUTION * RESOLUTION
 
+    # Tile-ordered ray permutation (see module docstring)
+    idx = np.arange(n).reshape(RESOLUTION, RESOLUTION)
+    order = idx.reshape(RESOLUTION // TILE, TILE, RESOLUTION // TILE,
+                        TILE).transpose(0, 2, 1, 3).reshape(-1)
+    positions = rays.positions[order]
+    directions = rays.directions[order]
+    momentum_factors = rays.momentum_factors[order]
+    chunk = TILE * TILE
+
     def render_all():
         outs = []
-        for i in range(0, n, CHUNK):
-            outs.append(fused_chunk(rays.positions[i:i + CHUNK],
-                                    rays.directions[i:i + CHUNK],
-                                    rays.momentum_factors[i:i + CHUNK]))
+        for i in range(0, n, chunk):
+            outs.append(fused_chunk(positions[i:i + chunk],
+                                    directions[i:i + chunk],
+                                    momentum_factors[i:i + chunk]))
         jax.block_until_ready(outs)
         return outs
 

@@ -31,6 +31,10 @@ from blacklight_tpu.ops import sks
 @dataclasses.dataclass(frozen=True)
 class SamplerOptions:
     interp: bool = True
+    # Interpolate across block boundaries on multi-block (AMR) grids
+    # (simulation_block_interp; reference FindNearbyInds/
+    # InterpolateAdvanced, simulation_sampling.cpp:1068-1386)
+    block_interp: bool = False
     fallback_nan: bool = True
     fallback_rho: float = 0.0
     fallback_pgas: float = 0.0
@@ -188,7 +192,89 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
         def corner(kk, jj, ii):
             return prim_flat[:, flat_index(kk, jj, ii)]  # (nvar, B)
 
-    if opts.interp:
+    use_block_interp = (opts.interp and opts.block_interp and n_b > 1
+                        and grid.sks_map is None and not slow)
+    if use_block_interp:
+        # Cross-block trilinear interpolation: where the in-block fraction
+        # leaves [0, 1] (sample in the outer half of an edge cell), the
+        # missing bracket point lies in a neighbor block. Its position is
+        # taken as the mirror of the edge cell center through the block
+        # face (exact for equal-size neighbors, the common AMR case), the
+        # containing block is found by a global containment search with
+        # phi periodicity, and the nearest cell there supplies the corner
+        # value - the same decomposition as the reference's
+        # FindNearbyInds + InterpolateAdvanced
+        # (simulation_sampling.cpp:1068-1386), vectorized per corner.
+        rows1f, rows1v = grid.x1f[b], grid.x1v[b]
+        rows2f, rows2v = grid.x2f[b], grid.x2v[b]
+        rows3f, rows3v = grid.x3f[b], grid.x3v[b]
+
+        def take(a, idx):
+            return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+
+        def bracket(rows_f, rows_v, base, f, s):
+            lo = take(rows_v, base)
+            hi = take(rows_v, base + 1)
+            lo = jnp.where(f < 0.0, 2.0 * rows_f[:, 0] - rows_v[:, 0], lo)
+            hi = jnp.where(f > 1.0, 2.0 * rows_f[:, -1] - rows_v[:, -1], hi)
+            fr = (s - lo) / (hi - lo)
+            return lo, hi, fr
+
+        lo1, hi1, f_i = bracket(rows1f, rows1v, i_m, f_i, r)
+        lo2, hi2, f_j = bracket(rows2f, rows2v, j_m, f_j, th)
+        lo3, hi3, f_k = bracket(rows3f, rows3v, k_m, f_k, ph)
+        two_pi = 2.0 * jnp.pi
+        periodic_phi = grid.coords != "cks"
+
+        def locate_nearest(c1, c2, c3):
+            if periodic_phi:
+                c3 = jnp.mod(c3, two_pi)
+            cont = ((c1[:, None] >= grid.x1f[None, :, 0])
+                    & (c1[:, None] <= grid.x1f[None, :, -1])
+                    & (c2[:, None] >= grid.x2f[None, :, 0])
+                    & (c2[:, None] <= grid.x2f[None, :, -1])
+                    & (c3[:, None] >= grid.x3f[None, :, 0])
+                    & (c3[:, None] <= grid.x3f[None, :, -1]))
+            found = jnp.any(cont, axis=-1)
+            bb = jnp.argmax(cont, axis=-1).astype(jnp.int32)
+
+            def near(xf_all, c, n):
+                rows = xf_all[bb]
+                idx = jax.vmap(jnp.searchsorted)(rows, c)
+                return jnp.clip(idx - 1, 0, n - 1)
+
+            ii = near(grid.x1f, c1, n_i)
+            jj = near(grid.x2f, c2, n_j)
+            kk = near(grid.x3f, c3, n_k)
+            return ((bb * n_k + kk) * n_j + jj) * n_i + ii, found
+
+        def corner_x(dk, dj, di):
+            c1 = hi1 if di else lo1
+            c2 = hi2 if dj else lo2
+            c3 = hi3 if dk else lo3
+            flat, found = locate_nearest(c1, c2, c3)
+            flat_in = flat_index(k_m + dk, j_m + dj, i_m + di)
+            flat = jnp.where(found, flat, flat_in)
+            return prim_flat[:, flat]
+
+        c_mmm = corner_x(0, 0, 0)
+        c_mmp = corner_x(0, 0, 1)
+        c_mpm = corner_x(0, 1, 0)
+        c_mpp = corner_x(0, 1, 1)
+        c_pmm = corner_x(1, 0, 0)
+        c_pmp = corner_x(1, 0, 1)
+        c_ppm = corner_x(1, 1, 0)
+        c_ppp = corner_x(1, 1, 1)
+        vals = ((1 - f_k) * (1 - f_j) * (1 - f_i) * c_mmm
+                + (1 - f_k) * (1 - f_j) * f_i * c_mmp
+                + (1 - f_k) * f_j * (1 - f_i) * c_mpm
+                + (1 - f_k) * f_j * f_i * c_mpp
+                + f_k * (1 - f_j) * (1 - f_i) * c_pmm
+                + f_k * (1 - f_j) * f_i * c_pmp
+                + f_k * f_j * (1 - f_i) * c_ppm
+                + f_k * f_j * f_i * c_ppp)
+        anchor = c_mmm
+    elif opts.interp:
         c_mmm = corner(k_m, j_m, i_m)
         c_mmp = corner(k_m, j_m, i_m + 1)
         c_mpm = corner(k_m, j_m + 1, i_m)
@@ -224,17 +310,18 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
         # 836-844) - round-trip for parity.
         out[name] = v.astype(jnp.float32).astype(pos.dtype)
 
-    # Off-grid fallback (simulation_sampling.cpp:376-384, 676-707)
-    if opts.fallback_nan:
-        nan = jnp.nan
-        for name in names:
-            out[name] = jnp.where(off_grid, nan, out[name])
-    else:
-        fb = {"rho": opts.fallback_rho, "pgas": opts.fallback_pgas,
-              "kappa": opts.fallback_kappa,
-              "uu1": 0.0, "uu2": 0.0, "uu3": 0.0,
-              "bb1": 0.0, "bb2": 0.0, "bb3": 0.0}
-        for name in names:
-            out[name] = jnp.where(off_grid, fb[name], out[name])
+    # Off-grid fallback (simulation_sampling.cpp:376-384, 676-707).
+    # With fallback_nan the reference stores NaN; here values stay FINITE
+    # (a NaN primal would poison reverse-mode through every later product)
+    # and "nan_mask" tells consumers which samples to NaN-poison in outputs.
+    fb = {"rho": opts.fallback_rho or 1e-30,
+          "pgas": opts.fallback_pgas or 1e-30,
+          "kappa": opts.fallback_kappa or 1e-30,
+          "uu1": 0.0, "uu2": 0.0, "uu3": 0.0,
+          "bb1": 0.0, "bb2": 0.0, "bb3": 0.0}
+    for name in names:
+        out[name] = jnp.where(off_grid, fb[name], out[name])
     out["off_grid"] = off_grid
+    out["nan_mask"] = off_grid if opts.fallback_nan \
+        else jnp.zeros_like(off_grid)
     return out

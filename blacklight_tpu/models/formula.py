@@ -68,10 +68,15 @@ def formula_coefficients(pos, kcov, momentum_factors, frequencies,
       camera_x: (4,) camera position (for near/far cuts).
 
     Returns:
-      (j, alpha, keep): j is the invariant emission coefficient IN UNITS OF
-      cn0/nup^2 (so values stay O(1) and survive float32; multiply the final
-      image by j_scale = cn0/nup^2); alpha is the unscaled invariant
-      absorption; keep is the (B,) sample mask after cuts.
+      (j, alpha, keep, bad): j is the invariant emission coefficient IN
+      UNITS OF cn0/nup^2 (so values stay O(1) and survive float32; multiply
+      the final image by j_scale = cn0/nup^2); alpha is the unscaled
+      invariant absorption; keep is the (B,) sample mask after cuts; bad is
+      the (B, F) mask of samples where the C++ computation would produce
+      NaN (pow of a negative base with non-integer exponent, non-timelike
+      rotation profile). j/alpha carry finite placeholder values there -
+      never NaN primals, whose adjoints would poison reverse-mode through
+      any product - and the transfer NaN-poisons flagged pixels instead.
     """
     x, y, z = pos[..., 1], pos[..., 2], pos[..., 3]
     xyz = pos[..., 1:4]
@@ -134,9 +139,10 @@ def formula_coefficients(pos, kcov, momentum_factors, frequencies,
     # Forward NaN for non-timelike arguments matches C++ sqrt(neg); the
     # double-where keeps gradients finite.
     u_arg = -gtt_bl + 2.0 * gtph_bl * ll - gphph_bl * ll * ll
-    u_norm = jnp.where(u_arg > 0.0,
-                       1.0 / jnp.sqrt(jnp.where(u_arg > 0.0, u_arg, 1.0)),
-                       jnp.nan)
+    # Non-timelike profile (C++ sqrt(neg) -> NaN): finite placeholder +
+    # bad flag; a NaN primal here would enter products and poison adjoints
+    bad = ~(u_arg > 0.0)
+    u_norm = 1.0 / jnp.sqrt(jnp.where(u_arg > 0.0, u_arg, 1.0))
     u_t_bl = -u_norm
     u_ph_bl = u_norm * ll
     ut_bl = gtt_bl * u_t_bl + gtph_bl * u_ph_bl
@@ -168,33 +174,54 @@ def formula_coefficients(pos, kcov, momentum_factors, frequencies,
     # for integer-valued exponents and NaN otherwise - match it with
     # gradient-safe internals (_cpp_pow).
     x_raw = nu_fluid / params.nup
-    j_scaled = n_n0[..., None] * _cpp_pow(x_raw, -params.alpha - 2.0)
-    alpha_fluid = params.a_param * params.cn0 * n_n0[..., None] \
-        * _cpp_pow(x_raw, -params.beta - params.alpha)
+    pow_j, bad_j = _cpp_pow(x_raw, -params.alpha - 2.0)
+    pow_a, bad_a = _cpp_pow(x_raw, -params.beta - params.alpha)
+    j_scaled = n_n0[..., None] * pow_j
+    alpha_fluid = params.a_param * params.cn0 * n_n0[..., None] * pow_a
     alpha_invariant = alpha_fluid * nu_fluid
     keep = jnp.broadcast_to(keep[..., None], j_scaled.shape)
+    # NaN j poisons the pixel (the reference's I += j dl propagates it);
+    # NaN alpha alone does NOT - the reference's alpha > 0 test is false
+    # for NaN, routing to the j-only branch (unpolarized.cpp:98-110) - so
+    # alpha is zeroed instead (identical forward I_nu).
+    bad = (bad[..., None] | bad_j) & keep
+    alpha_invariant = jnp.where(bad_a, 0.0, alpha_invariant)
 
     return (jnp.where(keep, j_scaled, 0.0),
             jnp.where(keep, alpha_invariant, 0.0),
-            keep[..., 0])
+            keep[..., 0], bad)
 
 
 def _cpp_pow(x, e):
     """std::pow semantics for possibly-negative base, gradient-safe.
 
     C++: pow(neg, integer-valued e) = sign(neg)^e * |neg|^e; non-integer e
-    gives NaN. jnp.power(neg, float) is NaN in both cases. The negative
-    branch is sanitized with double-where so backward passes stay finite.
+    gives NaN. jnp.power(neg, float) is NaN in both cases.
+
+    Returns (value, bad): value is always a FINITE placeholder (|x|^e with
+    the C++ sign for integer e) and bad marks entries where C++ would
+    produce NaN. NaN is never materialized: a NaN primal entering any later
+    product would make that product's other-factor adjoint 0 * NaN = NaN,
+    poisoning reverse-mode for the whole batch reduction.
     """
     x_safe = jnp.where(x > 0.0, x, 1.0)
     pos = jnp.power(x_safe, e)
+    xn_safe = jnp.where(x < 0.0, -x, 1.0)
     if isinstance(e, (int, float)) and float(e).is_integer():
         sign = -1.0 if int(e) % 2 else 1.0
-        xn_safe = jnp.where(x < 0.0, -x, 1.0)
-        neg = sign * jnp.power(xn_safe, e)
+        bad = jnp.zeros(jnp.shape(x), dtype=bool)
     else:
-        neg = jnp.nan
-    return jnp.where(x > 0.0, pos, jnp.where(x < 0.0, neg, jnp.power(x, e)))
+        sign = 1.0  # placeholder magnitude; flagged bad
+        bad = x < 0.0
+    neg = sign * jnp.power(xn_safe, e)
+    # x == 0: pow only at actual zeros (0^e may be 0, 1, or inf; inf at
+    # e < 0 is flagged rather than materialized)
+    zero = jnp.power(jnp.where(x == 0.0, x, 1.0), e)
+    if isinstance(e, (int, float)) and e < 0.0:
+        bad = bad | (x == 0.0)
+        zero = jnp.where(x == 0.0, 1.0, zero)
+    val = jnp.where(x > 0.0, pos, jnp.where(x < 0.0, neg, zero))
+    return val, bad
 
 
 def formula_log_j_scale(params: FormulaParams):

@@ -141,6 +141,15 @@ def _renorm(x_pos, p_cov, params: GeodesicParams):
         x_pos, p_cov, params.bh_a, params.bh_m, flat=params.ray_flat)
 
 
+def _park_state(y):
+    """Benign state dead rays are parked at: far from the hole with a
+    radial null-ish momentum. All metric/renormalization algebra is
+    well-conditioned there, so no non-finite primal (whose adjoint would
+    NaN-poison the backward scan) is ever produced for dead rays."""
+    park = jnp.array([0.0, 1.0e3, 0.0, 0.0, -1.0, 1.0, 0.0, 0.0], y.dtype)
+    return jnp.broadcast_to(park, y.shape)
+
+
 def _rk_step(y, h, params: GeodesicParams):
     """One RK4 or RK2 step; returns (y_mid_raw, y_end_prenorm)."""
     rhs = lambda s: geodesic_rhs(s, params.bh_a, params.bh_m, flat=params.ray_flat)
@@ -167,7 +176,12 @@ def _make_rk_body(params: GeodesicParams):
     def body(carry: Carry, n):
         y = carry.y
         r = geometry.radius(y[..., 1:4], params.bh_a)
-        h = -params.ray_step * (r - params.r_horizon)
+        # Dead rays take zero-length steps: their held state may sit near
+        # the horizon where further RK substeps produce non-finite values
+        # whose adjoints would NaN-poison the backward scan even though
+        # the forward pass masks them out (NaN-through-select).
+        h = jnp.where(carry.alive,
+                      -params.ray_step * (r - params.r_horizon), 0.0)
 
         y_mid, y_end = _rk_step(y, h, params)
         p_end = _renorm(y_end[..., 1:4], y_end[..., 4:8], params)
@@ -195,7 +209,10 @@ def _make_rk_body(params: GeodesicParams):
         flag = carry.flag | (carry.alive & ~terminate & is_last)
         alive = carry.alive & ~terminate
 
-        y_next = jnp.where(carry.alive[..., None], y_new, y)
+        # Dead rays park at a benign state: their terminal state (possibly
+        # inside the horizon) is never needed again, and stepping from it
+        # would create non-finite primals that poison gradients.
+        y_next = jnp.where(alive[..., None], y_new, _park_state(y))
         sample = Sample(pos=mid_pos, dir=mid_dir,
                         len=jnp.where(valid, h, 0.0), valid=valid)
         new_carry = Carry(
@@ -288,7 +305,9 @@ def _make_dp_body(params: GeodesicParams):
         alive = carry.alive & ~(accept & terminate) & ~dead_from_retry
 
         step_taken = carry.alive & accept
-        y_next = jnp.where(step_taken[..., None], y_new, carry.y)
+        y_next = jnp.where(alive[..., None],
+                           jnp.where(step_taken[..., None], y_new, carry.y),
+                           _park_state(carry.y))
         sample = Sample(pos=mid_pos, dir=mid_dir,
                         len=jnp.where(valid, h, 0.0), valid=valid)
         new_carry = Carry(

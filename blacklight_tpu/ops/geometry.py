@@ -286,7 +286,9 @@ def geodesic_rhs_scalar(y, spin, mass=1.0, flat=False, with_distance=False):
     q3 = k3 - scale * l3
     lq = l1 * q1 + l2 * q2 + l3 * q3
     ds2 = q1 * q1 + q2 * q2 + q3 * q3 + f * lq * lq
-    ds = -jnp.sqrt(jnp.maximum(ds2, 0.0))
+    # Floor strictly above 0: d(sqrt)/dx at a 0-clamp is inf, and inf * 0
+    # adjoints NaN-poison reverse-mode through the scan.
+    ds = -jnp.sqrt(jnp.maximum(ds2, 1e-300))
     return jnp.concatenate([out, ds[..., None]], axis=-1)
 
 
@@ -311,8 +313,13 @@ def renormalize_null_momentum_scalar(x, p_cov, spin, mass=1.0, flat=False):
         a = p1 * p1 + p2 * p2 + p3 * p3 - f * lsps * lsps
         b = 2.0 * f * lsps * p0
         c = -(1.0 + f) * p0 * p0
-    d = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
-    factor = jnp.where(b < 0.0, (d - b) / (2.0 * a), -2.0 * c / (b + d))
+    # Strictly positive floor: sqrt'(0) = inf would NaN-poison gradients
+    d = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 1e-300))
+    # Double-where: keep the unselected branch's division well-defined
+    use_neg = b < 0.0
+    denom_a = jnp.where(use_neg, 2.0 * a, 1.0)
+    denom_b = jnp.where(use_neg, 1.0, b + d)
+    factor = jnp.where(use_neg, (d - b) / denom_a, -2.0 * c / denom_b)
     return jnp.concatenate([p0[..., None], p_cov[..., 1:] * factor[..., None]],
                            axis=-1)
 

@@ -90,9 +90,9 @@ def make_formula_renderer(cfg, early_exit: bool = True):
 
     def render_fn(positions, directions, momentum_factors, stored=None):
         def coeff_fn(pos, kcov, mom=momentum_factors):
-            j, alpha, _ = formula_model.formula_coefficients(
+            j, alpha, _, bad = formula_model.formula_coefficients(
                 pos, kcov, mom, frequencies, fparams, camera_x)
-            return j, alpha
+            return j, alpha, bad
 
         fused = jax.jit(functools.partial(
             integrate_unpolarized, params=params, coeff_fn=coeff_fn, opts=opts,
@@ -191,16 +191,28 @@ def run(cfg, snapshot: Optional[int] = None, quiet: bool = False) -> dict:
     """
     from blacklight_tpu import checkpoint as ckpt
 
+    import contextlib
+    import os
+
     validate_output_options(cfg)
     ckpt.validate_checkpoint_options(cfg)
     model = cfg.require("model_type")
+
+    # Optional on-device profiling (SURVEY 5.1: the reference has wall-clock
+    # stage timers only; here a jax.profiler trace adds per-kernel detail)
+    profile_dir = os.environ.get("BLACKLIGHT_TPU_PROFILE_DIR")
+    profile_cm = jax.profiler.trace(profile_dir) if profile_dir \
+        else contextlib.nullcontext()
+
     t0 = time.time()
     if model == ModelType.formula:
         render_fn, geom, rays, frequencies, mass_msun = make_formula_renderer(cfg)
+        t_read = 0.0
     else:
         from blacklight_tpu.pipeline_simulation import make_simulation_renderer
         render_fn, geom, rays, frequencies, mass_msun = make_simulation_renderer(
             cfg, snapshot=snapshot)
+        t_read = time.time() - t0
 
     # Checkpoints apply to the root-level bundle only, like the reference's
     # level-0 arrays (geodesic_checkpoint.cpp:28-59)
@@ -234,10 +246,12 @@ def run(cfg, snapshot: Optional[int] = None, quiet: bool = False) -> dict:
         kwargs["stored"] = stored
     if stored_prims is not None:
         kwargs["stored_prims"] = stored_prims
-    image = render_fn(rays.positions, rays.directions, rays.momentum_factors,
-                      **kwargs)
-    adaptive_levels = adaptive_loop(cfg, render_fn, geom, image)
-    t_image = time.time() - t0
+    t1 = time.time()
+    with profile_cm:
+        image = render_fn(rays.positions, rays.directions,
+                          rays.momentum_factors, **kwargs)
+        adaptive_levels = adaptive_loop(cfg, render_fn, geom, image)
+    t_image = time.time() - t1
 
     n_bad = int(np.sum(image["_flags"]))
     if n_bad > 0:
@@ -275,7 +289,10 @@ def run(cfg, snapshot: Optional[int] = None, quiet: bool = False) -> dict:
     write_output(cfg, path, arrays, image_packed=packed)
 
     if not quiet:
+        # Reference timing report (blacklight.cpp:259-269); geodesic,
+        # sampling, and image integration are one fused device computation
         print("Calculation completed.")
-        print(f"Elapsed time:            {time.time() - t0:.6g} s")
-        print(f"  Integrating rays+image: {t_image:.6g} s (fused)")
+        print(f"Elapsed time:                        {time.time() - t0:.6g} s")
+        print(f"  Time reading simulation data:      {t_read:.6g} s")
+        print(f"  Time integrating rays+sample+image: {t_image:.6g} s (fused)")
     return arrays

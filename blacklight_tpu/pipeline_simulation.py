@@ -119,6 +119,7 @@ def load_grid(cfg, snapshot: Optional[int] = None, dtype=jnp.float64):
 def _sampler_options(cfg, snapshot_time: float = 0.0) -> SamplerOptions:
     return SamplerOptions(
         interp=cfg.require("simulation_interp"),
+        block_interp=bool(cfg.simulation_block_interp),
         fallback_nan=cfg.require("fallback_nan"),
         fallback_rho=cfg.fallback_rho or 0.0,
         fallback_pgas=cfg.fallback_pgas or 0.0,
@@ -162,17 +163,20 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
             # consumes (simulation_sampling.cpp:692-693 'continue' after
             # Zero()); mirror that.
             samples = {k: (jnp.where(keep_geo, v, 0.0)
-                           if k != "off_grid" else v)
+                           if k not in ("off_grid", "nan_mask") else v)
                        for k, v in samples.items()}
         state = synchrotron.fluid_state(pos, samples, spin, plasma, rho_unit,
                                         coords=sim_coords)
         keep_val = synchrotron.value_cuts(state, cuts_val)
         b_zero = ((samples["bb1"] == 0.0) & (samples["bb2"] == 0.0)
                   & (samples["bb3"] == 0.0))
-        return state, keep_geo, keep_val, b_zero
+        nan_mask = samples.get("nan_mask")
+        if nan_mask is None:
+            nan_mask = jnp.zeros_like(keep_geo)
+        return state, keep_geo, keep_val, b_zero, nan_mask
 
     def coeff_fn(pos, kcov, momentum_factors=momentum_factors, prims=None):
-        state, keep_geo, keep_val, b_zero = state_at(pos, prims)
+        state, keep_geo, keep_val, b_zero, nan_mask = state_at(pos, prims)
         sin_b, cos_b, sin2_b, u_dot_k = synchrotron.pitch_angle(
             pos, kcov, state, spin)
         nu_cgs = -u_dot_k[..., None] * frequencies[None, :] \
@@ -181,23 +185,30 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
             nu_cgs, nu0, state, sin_b, cos_b, sin2_b, plasma, polarized,
             pl_consts=pl_consts, kp_consts=kp_consts)
         # Coupling skipped (-> zero coefficients) where cut or B = 0
-        # (simulation_coefficients.cpp:257-262, 361-375, 393-394). NaN
-        # samples flow through untouched: their comparisons are False, so
-        # keep stays True and NaN coefficients poison the ray as in the
-        # reference.
+        # (simulation_coefficients.cpp:257-262, 361-375, 393-394). Samples
+        # the reference would NaN (fallback_nan off-grid) carry finite
+        # placeholders plus the bad mask: the transfer NaN-poisons those
+        # pixels, reproducing the reference's NaN propagation without NaN
+        # primals in the differentiable graph.
         keep = (keep_geo & keep_val & ~b_zero)[..., None]
         out = {k: jnp.where(keep, v, 0.0) for k, v in coeffs.items()}
+        # Geometric cuts happen BEFORE sampling in the reference
+        # (simulation_sampling.cpp:237-295 'continue'), so only uncut
+        # off-grid samples would carry its NaN values
+        bad = jnp.broadcast_to((nan_mask & keep_geo)[..., None],
+                               out["j_i"].shape)
         if polarized:
             out["ucon"] = state["ucon"]
             out["bcon"] = state["bcon"]
             out["b_zero"] = b_zero
+            out["bad"] = bad
             return out
-        return out["j_i"], out["alpha_i"]
+        return out["j_i"], out["alpha_i"], bad
 
     def cell_fn(pos, kcov, prims=None):
-        state, keep_geo, keep_val, _ = state_at(pos, prims)
+        state, keep_geo, keep_val, _, nan_mask = state_at(pos, prims)
         cells = synchrotron.cell_values(state)
-        keep = (keep_geo & keep_val)[..., None]
+        keep = (keep_geo & keep_val & ~nan_mask)[..., None]
         return jnp.where(keep, cells, jnp.nan)
 
     log_scale = synchrotron.log_j_scale(nu0)

@@ -100,6 +100,7 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         "conn_old": jnp.zeros((b, 4, 4, 4), dtype),
         "dl_old": jnp.zeros(b, dtype),
         "started": jnp.zeros(b, dtype=bool),
+        "coeff_bad": jnp.zeros((b, f), dtype=bool),
     }
     if opts.time:
         state["time"] = jnp.zeros(b, dtype)
@@ -146,6 +147,12 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         ucon = coeffs["ucon"]
         bcon = coeffs["bcon"]
         b_zero = coeffs["b_zero"]
+        if "bad" in coeffs:
+            # Samples the reference would NaN carry finite placeholders +
+            # a flag; poison those pixels at the end instead of letting
+            # NaN primals destroy reverse-mode (see unpolarized.py)
+            state["coeff_bad"] = state["coeff_bad"] | (
+                active[:, None] & coeffs["bad"])
         g_cov, g_con = geometry.gcov_gcon(pos[:, 1:4], spin, mass, flat=flat)
         ucov = jnp.einsum("Bmn,Bn->Bm", g_cov, ucon)
         zhat = jnp.zeros_like(bcon).at[:, 3].set(1.0)
@@ -256,7 +263,7 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     stokes_v = 0.5 * (nn_tet[..., 2, 1] - nn_tet[..., 1, 2]).imag * scale
 
     nan = jnp.array(jnp.nan, dtype)
-    poison = (flags & opts.fallback_nan)[:, None]
+    poison = (flags & opts.fallback_nan)[:, None] | state["coeff_bad"]
     out = {
         "_flags": flags, "_n_samples": n_samples,
         "I_nu": jnp.where(poison, nan, stokes_i),

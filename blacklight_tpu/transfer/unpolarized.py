@@ -121,7 +121,17 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
     if need_cells and cell_fn is None:
         raise ValueError("cell_fn required for lambda_ave/emission_ave/tau_int")
 
+    need_coeffs = (opts.light or opts.emission or opts.emission_ave
+                   or opts.tau or opts.tau_int)
+
     state = {}
+    if need_coeffs:
+        # Non-finite coefficients (e.g. pow(negative, non-integer) matching
+        # C++ semantics at horizon-adjacent samples) must poison the pixel
+        # exactly as NaN propagation would in the reference - but as an
+        # explicit flag + final NaN, so the recurrence math stays NaN-free
+        # and reverse-mode stays finite.
+        state["coeff_bad"] = jnp.zeros((b, f), dtype=bool)
     if opts.light:
         state["I"] = jnp.zeros((b, f), dtype)
         state["tau_accum"] = jnp.zeros((b, f), dtype)
@@ -147,11 +157,19 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         state["plane_sign"] = jnp.zeros(b, dtype=bool)
         state["sign_set"] = jnp.zeros(b, dtype=bool)
 
+    safe_pos = jnp.asarray(camera_x, dtype)
+    safe_dir = jnp.asarray(jnp.array([-1.0, 1.0, 0.0, 0.0], dtype))
+
     def contribution(state, sample: geodesic.Sample, prims=None):
         state = dict(state)
         valid = sample.valid
         validf = valid.astype(dtype)
-        pos, kcov = sample.pos, sample.dir
+        # Invalid samples hold dead rays' last state (possibly inside the
+        # horizon); evaluating coefficients there can produce non-finite
+        # primals whose adjoints NaN-poison the backward scan even though
+        # the forward select masks them. Evaluate at a safe point instead.
+        pos = jnp.where(valid[:, None], sample.pos, safe_pos[None, :])
+        kcov = jnp.where(valid[:, None], sample.dir, safe_dir[None, :])
         extra = {} if prims is None else {"prims": prims}
         # Reference reverses geodesics flipping len sign
         # (geodesics.cpp:840); use the positive affine step directly.
@@ -160,12 +178,22 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         dl_cgs = (delta_lambda[:, None] * x_unit
                   / (frequencies[None, :] * momentum_factors[:, None]))
 
-        if opts.light or opts.emission or opts.emission_ave or opts.tau \
-                or opts.tau_int:
-            j, alpha = coeff_fn(pos, kcov, **extra)
+        if need_coeffs:
+            res = coeff_fn(pos, kcov, **extra)
+            if len(res) == 3:
+                j, alpha, cbad = res
+            else:
+                j, alpha = res
+                cbad = jnp.zeros(j.shape, dtype=bool)
+            bad = cbad | ~(jnp.isfinite(j) & jnp.isfinite(alpha))
+            j = jnp.where(bad, 0.0, j)
+            alpha = jnp.where(bad, 0.0, alpha)
+            state["coeff_bad"] = state["coeff_bad"] | (valid[:, None] & bad)
         if need_cells:
             cells = cell_fn(pos, kcov, **extra)  # (B, C)
             cells_ok = valid[:, None] & ~jnp.isnan(cells[:, 0:1])
+            # Sanitize before any product: NaN primals poison adjoints
+            cells = jnp.where(jnp.isnan(cells), 0.0, cells)
 
         if opts.light:
             pos_alpha_pre = alpha > 0.0
@@ -205,7 +233,8 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
                                       / g_con[:, 0, 0])[:, None])
             dl2 = jnp.einsum("...ab,...a,...b->...", g_cov[:, 1:, 1:], q, q)
             state["length"] = state["length"] + jnp.where(
-                valid, jnp.sqrt(jnp.maximum(dl2, 0.0)) * delta_lambda * x_unit, 0.0)
+                valid, jnp.sqrt(jnp.maximum(dl2, 1e-300)) * delta_lambda * x_unit,
+                0.0)
         if opts.lam or opts.lambda_ave:
             state["lambda"] = state["lambda"] + validf[:, None] * dl_cgs
         if opts.emission or opts.emission_ave:
@@ -263,6 +292,10 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
     out = {"_flags": flags, "_n_samples": n_samples}
     nan = jnp.array(jnp.nan, dtype)
     poison = (flags & opts.fallback_nan)[:, None]
+    # Coefficient-dependent outputs also poison where coefficients went
+    # non-finite at a contributing sample (as NaN propagation would in the
+    # reference)
+    poison_c = poison | state["coeff_bad"] if need_coeffs else poison
     if opts.light:
         # Combine the unit scale with the nu^3 factor in log space: the
         # factor alone (~1e-41 CGS) underflows float32, but the product
@@ -270,7 +303,7 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         scale = jnp.exp(jnp.asarray(log_j_scale, dtype)
                         + 3.0 * jnp.log(frequencies[None, :].astype(dtype)))
         img = state["I"] * scale
-        out["I_nu"] = jnp.where(poison, nan, img)
+        out["I_nu"] = jnp.where(poison_c, nan, img)
     if opts.time:
         out["time"] = state["time"]
     if opts.length:
@@ -279,18 +312,18 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         out["lambda"] = state["lambda"]
     if opts.emission:
         out["emission"] = jnp.where(
-            poison, nan,
+            poison_c, nan,
             state["emission"] * jnp.exp(jnp.asarray(log_j_scale, dtype)))
     if opts.tau:
-        out["tau"] = jnp.where(poison, nan, state["tau"])
+        out["tau"] = jnp.where(poison_c, nan, state["tau"])
     if opts.lambda_ave:
         ave = state["lambda_ave"] / state["lambda"][..., None]
         out["lambda_ave"] = jnp.where(poison[..., None], 0.0, ave)
     if opts.emission_ave:
         ave = state["emission_ave"] / state["emission"][..., None]
-        out["emission_ave"] = jnp.where(poison[..., None], nan, ave)
+        out["emission_ave"] = jnp.where(poison_c[..., None], nan, ave)
     if opts.tau_int:
-        out["tau_int"] = jnp.where(poison[..., None], nan, state["tau_int"])
+        out["tau_int"] = jnp.where(poison_c[..., None], nan, state["tau_int"])
     if opts.crossings:
         out["crossings"] = state["crossings"].astype(dtype)
     return out

@@ -148,10 +148,12 @@ def _sks_frames(fields, p):
                 alpha=alpha, gtr=gtr, f=f)
 
 
-def write_athena(path, fields, p, kappa=False):
+def write_athena(path, fields, p, kappa=False, phi_blocks=1):
     """Athena++ .athdf layout the reference parses
     (simulation_reader.cpp:593-781). kappa adds an electron-entropy slice
-    named "kappa" (= pgas / rho^gamma) for the code_kappa plasma model."""
+    named "kappa" (= pgas / rho^gamma) for the code_kappa plasma model;
+    phi_blocks > 1 splits the domain into that many mesh blocks along phi
+    (for multi-block sampler tests)."""
     import h5py
 
     n_r, n_th, n_ph = p["n_r"], p["n_th"], p["n_ph"]
@@ -161,29 +163,45 @@ def write_athena(path, fields, p, kappa=False):
     if kappa:
         prim_names.append("kappa")
         prim_vals.append(fields["pgas"] / fields["rho"] ** p["gamma_adi"])
+    nb = phi_blocks
+    if n_ph % nb != 0:
+        raise ValueError("phi_blocks must divide n_ph")
+    npb = n_ph // nb
     with h5py.File(path, "w") as f:
         f.attrs.create("NumCycles", 0, dtype=np.int32)
         f.attrs.create("Time", p["time"], dtype=np.float32)
         f.attrs.create("Coordinates", np.bytes_("kerr-schild"))
         f.attrs.create("RootGridSize", (n_r, n_th, n_ph), dtype=np.int32)
-        f.attrs.create("NumMeshBlocks", 1, dtype=np.int32)
-        f.attrs.create("MeshBlockSize", (n_r, n_th, n_ph), dtype=np.int32)
+        f.attrs.create("NumMeshBlocks", nb, dtype=np.int32)
+        f.attrs.create("MeshBlockSize", (n_r, n_th, npb), dtype=np.int32)
         f.attrs.create("MaxLevel", 0, dtype=np.int32)
         f.attrs.create("NumVariables", [len(prim_names), 3], dtype=np.int32)
         f.attrs.create("DatasetNames", [np.bytes_("prim"), np.bytes_("B")])
         f.attrs.create("VariableNames", [
             np.bytes_(s) for s in
             prim_names + ["Bcc1", "Bcc2", "Bcc3"]])
-        f.create_dataset("Levels", data=np.zeros(1, dtype=np.int32))
-        f.create_dataset("LogicalLocations",
-                         data=np.zeros((1, 3), dtype=np.int64))
-        for name, arr in (("x1f", fields["rf"]), ("x2f", fields["thf"]),
-                          ("x3f", fields["phf"]), ("x1v", fields["r"]),
-                          ("x2v", fields["th"]), ("x3v", fields["ph"])):
-            f.create_dataset(name, data=arr[None, :].astype(np.float32))
-        prim = np.stack(prim_vals)[:, None]
-        bfield = np.stack([fields["bbr"], fields["bbth"],
-                           fields["bbph"]])[:, None]
+        f.create_dataset("Levels", data=np.zeros(nb, dtype=np.int32))
+        locs = np.zeros((nb, 3), dtype=np.int64)
+        locs[:, 2] = np.arange(nb)
+        f.create_dataset("LogicalLocations", data=locs)
+        rep = lambda a: np.repeat(a[None, :], nb, axis=0)
+        f.create_dataset("x1f", data=rep(fields["rf"]).astype(np.float32))
+        f.create_dataset("x2f", data=rep(fields["thf"]).astype(np.float32))
+        f.create_dataset("x1v", data=rep(fields["r"]).astype(np.float32))
+        f.create_dataset("x2v", data=rep(fields["th"]).astype(np.float32))
+        x3f = np.stack([fields["phf"][bidx * npb:(bidx + 1) * npb + 1]
+                        for bidx in range(nb)])
+        x3v = np.stack([fields["ph"][bidx * npb:(bidx + 1) * npb]
+                        for bidx in range(nb)])
+        f.create_dataset("x3f", data=x3f.astype(np.float32))
+        f.create_dataset("x3v", data=x3v.astype(np.float32))
+        # (var, block, k, j, i) with k split along phi
+        prim = np.stack([np.stack([v[bidx * npb:(bidx + 1) * npb]
+                                   for bidx in range(nb)]) for v in prim_vals])
+        bfield = np.stack([np.stack([v[bidx * npb:(bidx + 1) * npb]
+                                     for bidx in range(nb)])
+                           for v in (fields["bbr"], fields["bbth"],
+                                     fields["bbph"])])
         f.create_dataset("prim", data=prim.astype(np.float32))
         f.create_dataset("B", data=bfield.astype(np.float32))
 

@@ -103,7 +103,11 @@ def test_gradients_wrt_emission_params(fixtures_dir):
 
     cfg = read_config(str(fixtures_dir / "golden_formula_32.input"))
     cfg.camera_resolution = 4
-    cfg.ray_max_steps = 1200
+    # Enough steps for every ray to terminate: flagged rays NaN-poison
+    # their pixels (fallback_nan), and an all-NaN image makes this test
+    # vacuous (it silently passed as NaN == NaN before the flagged-ray
+    # gradient sanitization).
+    cfg.ray_max_steps = 2600
     spin = cfg.require("formula_spin")
     geom, rays, freqs = make_camera(cfg, bh_m=1.0, bh_a=spin)
     params = pipeline.geodesic_params_from_config(cfg, 1.0, spin)
@@ -117,17 +121,20 @@ def test_gradients_wrt_emission_params(fixtures_dir):
         fp = dataclasses.replace(fparams, cn0=cn0)
 
         def coeff_fn(pos, kcov):
-            j, a, _ = formula_model.formula_coefficients(
+            j, a, _, bad = formula_model.formula_coefficients(
                 pos, kcov, rays.momentum_factors, freqs, fp, geom.cam_x)
-            return j, a
+            return j, a, bad
 
         img = integrate_unpolarized(
             rays.positions, rays.directions, rays.momentum_factors, freqs,
             params=params, coeff_fn=coeff_fn, opts=ImageOptions(),
-            mass_msun=mass_msun, camera_x=geom.cam_x)
-        return jnp.sum(img["I_nu"])
+            mass_msun=mass_msun, camera_x=geom.cam_x,
+            log_j_scale=formula_model.formula_log_j_scale(fp))
+        return jnp.nansum(img["I_nu"])
 
     c0 = cfg.require("formula_cn0")
     g = jax.grad(total_flux)(c0)
+    flux = total_flux(c0)
+    assert np.isfinite(flux) and flux > 0.0
     # Linear in cn0 (formula_a = 0, no absorption): grad * cn0 == flux
-    np.testing.assert_allclose(g * c0, total_flux(c0), rtol=1e-10)
+    np.testing.assert_allclose(g * c0, flux, rtol=1e-10)

@@ -241,6 +241,29 @@ def test_image_fmks_smooth_matches_athena_loosely(mock_files):
     assert abs(np.nansum(I_f) - np.nansum(I_a)) < 0.1 * np.nansum(I_a)
 
 
+def test_multiblock_and_block_interp(tmp_path):
+    """Multi-block grids: block search reproduces the single-block image
+    away from boundaries, and simulation_block_interp interpolates across
+    block faces (FindNearbyInds/InterpolateAdvanced analog,
+    simulation_sampling.cpp:1068-1386). Splitting along phi keeps cell
+    sizes equal across the boundary, so cross-block interpolation must
+    reproduce the single-block trilinear almost exactly."""
+    p = dict(gen.DEFAULTS)
+    fields = gen.make_fields(p)
+    gen.write_athena(str(tmp_path / "one.athdf"), fields, p)
+    gen.write_athena(str(tmp_path / "four.athdf"), fields, p, phi_blocks=4)
+    paths = {"one": str(tmp_path / "one.athdf"),
+             "four": str(tmp_path / "four.athdf"), "dir": str(tmp_path)}
+    I_one = render(paths, "athena", "one")
+    I_multi = render(paths, "athena", "four")
+    I_interp = render(paths, "athena", "four", simulation_block_interp=True)
+    scale = np.nanmax(I_one)
+    # Without block interp, edge cells extrapolate: small boundary error
+    assert np.nanmax(np.abs(I_multi - I_one)) < 0.05 * scale
+    # With block interp the split grid must match the unsplit one tightly
+    np.testing.assert_allclose(I_interp, I_one, atol=2e-5 * scale)
+
+
 def test_code_kappa_plasma_model(tmp_path):
     """code_kappa electron-temperature model (simulation_coefficients.cpp:
     351-358) end-to-end: an athdf with an electron-entropy slice renders a
