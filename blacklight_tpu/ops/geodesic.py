@@ -227,11 +227,6 @@ def _make_rk_body(params: GeodesicParams):
 
 def _make_dp_body(params: GeodesicParams):
     """Scan body for Dormand-Prince: one attempted step per iteration."""
-    a_tab = jnp.asarray(_DP_A)
-    b5 = jnp.asarray(_DP_B5)
-    b4 = jnp.asarray(_DP_B4)
-    b4m = jnp.asarray(_DP_B4M)
-
     def rhs(s):
         return geodesic_rhs(s, params.bh_a, params.bh_m, flat=params.ray_flat,
                             with_distance=True)
@@ -253,13 +248,27 @@ def _make_dp_body(params: GeodesicParams):
         for i in range(1, 7):
             y_sub = y9
             for q in range(i):
-                y_sub = y_sub + a_tab[i, q] * hb * ks[q]
+                if _DP_A[i][q] != 0.0:
+                    # float(): numpy f64 scalars are strong-typed and would
+                    # promote float32 states under x64
+                    y_sub = y_sub + (float(_DP_A[i][q]) * hb) * ks[q]
             ks.append(rhs(y_sub))
-        k_arr = jnp.stack(ks, axis=-2)  # (B, 7, 9)
 
-        y5 = y9 + hb * jnp.einsum("q,...qp->...p", b5, k_arr)
-        y4 = y9 + hb * jnp.einsum("q,...qp->...p", b4, k_arr)
-        y4m = y9 + hb * jnp.einsum("q,...qp->...p", b4m, k_arr)
+        # Unrolled weighted sums: a (B, 7, 9) stack + einsum would put the
+        # tiny substep/component axes on the lanes; plain fused adds keep
+        # everything (B, 9)-elementwise for the VPU.
+        def combine(weights):
+            acc = None
+            for q in range(7):
+                if weights[q] == 0.0:
+                    continue
+                term = float(weights[q]) * ks[q]
+                acc = term if acc is None else acc + term
+            return y9 + hb * acc
+
+        y5 = combine(_DP_B5)
+        y4 = combine(_DP_B4)
+        y4m = combine(_DP_B4M)
 
         # Error estimate over the 8 dynamical components (geodesics.cpp:186-194)
         y_abs = jnp.maximum(jnp.abs(y9[..., :8]), jnp.abs(y5[..., :8]))

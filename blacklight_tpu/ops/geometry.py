@@ -240,29 +240,53 @@ def ks_derivatives(x, spin, mass=1.0):
     return r, f, (l1, l2, l3), (df_dx, df_dy, df_dz), (dl1, dl2, dl3)
 
 
-def geodesic_rhs_scalar(y, spin, mass=1.0, flat=False, with_distance=False):
-    """Geodesic ODE right-hand side in scalarized Kerr-Schild form.
+def ks_derivatives_c(xx, yy, z, spin, mass=1.0):
+    """Component-input form of :func:`ks_derivatives` (same math, no
+    trailing-axis packing - consumable inside Pallas kernels where small
+    trailing dims waste VPU lanes)."""
+    a2 = spin * spin
+    rr2 = xx * xx + yy * yy + z * z
+    r2 = 0.5 * (rr2 - a2 + jnp.hypot(rr2 - a2, 2.0 * spin * z))
+    r = jnp.sqrt(r2)
+    f = 2.0 * mass * r2 * r / (r2 * r2 + a2 * z * z)
+    denom = r2 + a2
+    l1 = (r * xx + spin * yy) / denom
+    l2 = (r * yy - spin * xx) / denom
+    l3 = z / r
 
-    Algebraically identical to :func:`blacklight_tpu.ops.geodesic.geodesic_rhs`
-    (reference geodesics.cpp:867-925), using the rank-1 structure:
-      dx^mu/dlambda = eta^{munu} p_nu - f l^mu (l.p)
-      dp_i /dlambda = +1/2 [ df_i (l.p)^2 + 2 f (l.p) (dl_i . p) ]
-      ds   /dlambda = -sqrt(|q|^2 + f (l.q)^2),
-        q^a = k^a - f l_a k^0 / (-1 - f)
-    with (l.p) = -p_0 + l_i p_i (index raised by eta).
+    dr_denom = 2.0 * r2 - rr2 + a2
+    dr_dx = r * xx / dr_denom
+    dr_dy = r * yy / dr_denom
+    dr_dz = (r * z + a2 * z / r) / dr_denom
+    f_denom = r * (r2 * r2 + a2 * z * z)
+    poly = r2 * r2 - 3.0 * a2 * z * z
+    df_dx = -poly * dr_dx / f_denom * f
+    df_dy = -poly * dr_dy / f_denom * f
+    df_dz = -(poly * dr_dz + 2.0 * a2 * r * z) / f_denom * f
+
+    c1 = (xx - 2.0 * r * l1) / denom
+    c2 = (yy - 2.0 * r * l2) / denom
+    dl1 = (c1 * dr_dx + r / denom, c1 * dr_dy + spin / denom, c1 * dr_dz)
+    dl2 = (c2 * dr_dx - spin / denom, c2 * dr_dy + r / denom, c2 * dr_dz)
+    dl3 = (-z / r2 * dr_dx, -z / r2 * dr_dy, -z / r2 * dr_dz + 1.0 / r)
+    return r, f, (l1, l2, l3), (df_dx, df_dy, df_dz), (dl1, dl2, dl3)
+
+
+def geodesic_rhs_c(x1, x2, x3, p0, p1, p2, p3, spin, mass=1.0, flat=False,
+                   with_distance=False):
+    """Component-form geodesic RHS.
+
+    Returns (dx0, dx1, dx2, dx3, dp1, dp2, dp3[, ds]) - dp0 = 0 always.
     """
-    p0 = y[..., 4]
-    p1, p2, p3 = y[..., 5], y[..., 6], y[..., 7]
     if flat:
-        dx = jnp.stack([-p0, p1, p2, p3], axis=-1)
-        dp = jnp.zeros_like(dx)
-        out = jnp.concatenate([dx, dp], axis=-1)
+        zero = jnp.zeros_like(p0)
+        out = (-p0, p1, p2, p3, zero, zero, zero)
         if not with_distance:
             return out
-        ds = -jnp.sqrt(p1 * p1 + p2 * p2 + p3 * p3)
-        return jnp.concatenate([out, ds[..., None]], axis=-1)
+        return out + (-jnp.sqrt(p1 * p1 + p2 * p2 + p3 * p3),)
 
-    r, f, (l1, l2, l3), df, (dl1, dl2, dl3) = ks_derivatives(y[..., 1:4], spin, mass)
+    r, f, (l1, l2, l3), df, (dl1, dl2, dl3) = ks_derivatives_c(
+        x1, x2, x3, spin, mass)
     lp = -p0 + l1 * p1 + l2 * p2 + l3 * p3  # l^mu p_mu
     flp = f * lp
     k0 = -p0 + flp          # g^{0nu} p_nu (l^0 = -1)
@@ -276,8 +300,7 @@ def geodesic_rhs_scalar(y, spin, mass=1.0, flat=False, with_distance=False):
     dp1 = df[0] * half_lp2 + flp * dlp1
     dp2 = df[1] * half_lp2 + flp * dlp2
     dp3 = df[2] * half_lp2 + flp * dlp3
-    zero = jnp.zeros_like(p0)
-    out = jnp.stack([k0, k1, k2, k3, zero, dp1, dp2, dp3], axis=-1)
+    out = (k0, k1, k2, k3, dp1, dp2, dp3)
     if not with_distance:
         return out
     scale = f * k0 / (-1.0 - f)
@@ -289,7 +312,58 @@ def geodesic_rhs_scalar(y, spin, mass=1.0, flat=False, with_distance=False):
     # Floor strictly above 0: d(sqrt)/dx at a 0-clamp is inf, and inf * 0
     # adjoints NaN-poison reverse-mode through the scan.
     ds = -jnp.sqrt(jnp.maximum(ds2, 1e-300))
-    return jnp.concatenate([out, ds[..., None]], axis=-1)
+    return out + (ds,)
+
+
+def geodesic_rhs_scalar(y, spin, mass=1.0, flat=False, with_distance=False):
+    """Geodesic ODE right-hand side in scalarized Kerr-Schild form.
+
+    Algebraically identical to :func:`blacklight_tpu.ops.geodesic.geodesic_rhs`
+    (reference geodesics.cpp:867-925), using the rank-1 structure:
+      dx^mu/dlambda = eta^{munu} p_nu - f l^mu (l.p)
+      dp_i /dlambda = +1/2 [ df_i (l.p)^2 + 2 f (l.p) (dl_i . p) ]
+      ds   /dlambda = -sqrt(|q|^2 + f (l.q)^2),
+        q^a = k^a - f l_a k^0 / (-1 - f)
+    with (l.p) = -p_0 + l_i p_i (index raised by eta).
+    """
+    comps = geodesic_rhs_c(y[..., 1], y[..., 2], y[..., 3], y[..., 4],
+                           y[..., 5], y[..., 6], y[..., 7], spin, mass,
+                           flat=flat, with_distance=with_distance)
+    zero = jnp.zeros_like(comps[0])
+    packed = [comps[0], comps[1], comps[2], comps[3], zero,
+              comps[4], comps[5], comps[6]]
+    if with_distance:
+        packed.append(comps[7])
+    return jnp.stack(packed, axis=-1)
+
+
+def renormalize_factor_c(x1, x2, x3, p0, p1, p2, p3, spin, mass=1.0,
+                         flat=False):
+    """Component-form spatial momentum rescale factor for null
+    renormalization (see :func:`renormalize_null_momentum_scalar`)."""
+    if flat:
+        a = p1 * p1 + p2 * p2 + p3 * p3
+        b = jnp.zeros_like(p0)
+        c = -p0 * p0
+    else:
+        a2s = spin * spin
+        rr2 = x1 * x1 + x2 * x2 + x3 * x3
+        r2 = 0.5 * (rr2 - a2s + jnp.hypot(rr2 - a2s, 2.0 * spin * x3))
+        r = jnp.sqrt(r2)
+        f = 2.0 * mass * r2 * r / (r2 * r2 + a2s * x3 * x3)
+        denom = r2 + a2s
+        l1 = (r * x1 + spin * x2) / denom
+        l2 = (r * x2 - spin * x1) / denom
+        l3 = x3 / r
+        lsps = l1 * p1 + l2 * p2 + l3 * p3
+        a = p1 * p1 + p2 * p2 + p3 * p3 - f * lsps * lsps
+        b = 2.0 * f * lsps * p0
+        c = -(1.0 + f) * p0 * p0
+    d = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 1e-300))
+    use_neg = b < 0.0
+    denom_a = jnp.where(use_neg, 2.0 * a, 1.0)
+    denom_b = jnp.where(use_neg, 1.0, b + d)
+    return jnp.where(use_neg, (d - b) / denom_a, -2.0 * c / denom_b)
 
 
 def renormalize_null_momentum_scalar(x, p_cov, spin, mass=1.0, flat=False):
@@ -300,27 +374,10 @@ def renormalize_null_momentum_scalar(x, p_cov, spin, mass=1.0, flat=False):
       c = -(1 + f) p_0^2
     choosing the stable quadratic branch for the spatial scale factor.
     """
-    p0 = p_cov[..., 0]
-    p1, p2, p3 = p_cov[..., 1], p_cov[..., 2], p_cov[..., 3]
-    if flat:
-        a = p1 * p1 + p2 * p2 + p3 * p3
-        b = jnp.zeros_like(p0)
-        c = -p0 * p0
-    else:
-        _, f, l_lower = ks_scalars(x, spin, mass)
-        l1, l2, l3 = l_lower[..., 0], l_lower[..., 1], l_lower[..., 2]
-        lsps = l1 * p1 + l2 * p2 + l3 * p3
-        a = p1 * p1 + p2 * p2 + p3 * p3 - f * lsps * lsps
-        b = 2.0 * f * lsps * p0
-        c = -(1.0 + f) * p0 * p0
-    # Strictly positive floor: sqrt'(0) = inf would NaN-poison gradients
-    d = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 1e-300))
-    # Double-where: keep the unselected branch's division well-defined
-    use_neg = b < 0.0
-    denom_a = jnp.where(use_neg, 2.0 * a, 1.0)
-    denom_b = jnp.where(use_neg, 1.0, b + d)
-    factor = jnp.where(use_neg, (d - b) / denom_a, -2.0 * c / denom_b)
-    return jnp.concatenate([p0[..., None], p_cov[..., 1:] * factor[..., None]],
+    factor = renormalize_factor_c(
+        x[..., 0], x[..., 1], x[..., 2], p_cov[..., 0], p_cov[..., 1],
+        p_cov[..., 2], p_cov[..., 3], spin, mass, flat=flat)
+    return jnp.concatenate([p_cov[..., 0:1], p_cov[..., 1:] * factor[..., None]],
                            axis=-1)
 
 

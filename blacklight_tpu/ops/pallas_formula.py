@@ -1,0 +1,438 @@
+"""Pallas TPU kernel: fused Dormand-Prince geodesics + formula-model
+unpolarized radiative transfer.
+
+The XLA-scan path (ops/geodesic.py + transfer/unpolarized.py) re-reads and
+re-writes the per-ray carry from HBM every step and pays the loop overhead
+per iteration across the whole dispatch. This kernel keeps a block of rays
+entirely in VMEM for the full integration: grid over ray blocks of
+(ROWS, 128) rays, one in-kernel while_loop per block stepping until every
+ray in the block is dead (ray lengths correlate with image position, so
+spatially ordered blocks exit early), all math componentwise on (ROWS, 128)
+tiles on the VPU.
+
+Semantics match the scan path (same DP error control, termination,
+truncation, null renormalization, invariant-transfer update, NaN-poisoning
+via masks); `render_formula_dp` is verified against integrate_unpolarized
+in tests (interpret mode on CPU, compiled on TPU).
+
+Scope: dp integrator, formula model, image_light, single frequency - the
+benchmark path. Other configurations use the scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blacklight_tpu.constants import Physics
+from blacklight_tpu.ops import geodesic as geo
+from blacklight_tpu.ops.geometry import (
+    geodesic_rhs_c,
+    renormalize_factor_c,
+)
+
+ROWS = 32            # rays per block = ROWS * 128 (a 64x64 image tile)
+LANES = 128
+DELTA_TAU_MAX = 100.0
+
+
+def _expm1(x):
+    """expm1 via series for small |x| (Pallas TPU has no expm1 primitive);
+    relative error O(x^3/24) < 1e-7 at the 2e-2 switch point."""
+    small = jnp.abs(x) < 2e-2
+    series = x * (1.0 + x * (0.5 + x * (1.0 / 6.0)))
+    return jnp.where(small, series, jnp.exp(jnp.where(small, 0.0, x)) - 1.0)
+
+
+def _radius_c(x1, x2, x3, spin):
+    a2 = spin * spin
+    rr2 = x1 * x1 + x2 * x2 + x3 * x3
+    r2 = 0.5 * (rr2 - a2 + jnp.hypot(rr2 - a2, 2.0 * spin * x3))
+    return jnp.sqrt(r2)
+
+
+def _formula_coeffs_c(x0, x1, x2, x3, k0, k1, k2, k3, mom, nu, fp, camera_x):
+    """Componentwise formula-model invariant j (scaled) and alpha at one
+    frequency (models/formula.py semantics; bad -> finite placeholder +
+    mask)."""
+    bh_a = fp.bh_a
+    r = _radius_c(x1, x2, x3, bh_a)
+
+    keep = r <= fp.camera_r
+    if fp.cut_omit_near or fp.cut_omit_far:
+        dot = x1 * camera_x[1] + x2 * camera_x[2] + x3 * camera_x[3]
+        if fp.cut_omit_near:
+            keep &= ~(dot > 0.0)
+        if fp.cut_omit_far:
+            keep &= ~(dot < 0.0)
+    if fp.cut_omit_in >= 0.0:
+        keep &= ~(r < fp.cut_omit_in)
+    if fp.cut_omit_out >= 0.0:
+        keep &= ~(r > fp.cut_omit_out)
+    if fp.cut_midplane_theta != 0.0:
+        th = jnp.arccos(x3 / r)
+        off = jnp.abs(th - jnp.pi / 2.0)
+        if fp.cut_midplane_theta > 0.0:
+            keep &= ~(off > fp.cut_midplane_theta)
+        else:
+            keep &= ~(off < -fp.cut_midplane_theta)
+    if fp.cut_midplane_z != 0.0:
+        if fp.cut_midplane_z > 0.0:
+            keep &= ~(jnp.abs(x3) > fp.cut_midplane_z)
+        else:
+            keep &= ~(jnp.abs(x3) < -fp.cut_midplane_z)
+    if fp.cut_plane:
+        ox, oy, oz = fp.cut_plane_origin
+        nx, ny, nz = fp.cut_plane_normal
+        keep &= ~((x1 - ox) * nx + (x2 - oy) * ny + (x3 - oz) * nz < 0.0)
+
+    rr = jnp.sqrt(jnp.maximum(r * r - x3 * x3, 1e-30))
+    cth = x3 / r
+    sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+    # sin/cos of ph = atan2(x2, x1) - atan(a/r) in closed form (no atan2,
+    # which Pallas TPU cannot lower): with rho = sqrt(x1^2 + x2^2) and
+    # s = sqrt(r^2 + a^2), cos A = x1/rho, sin A = x2/rho, cos B = r/s,
+    # sin B = a/s
+    rho_s = jnp.sqrt(jnp.maximum(x1 * x1 + x2 * x2, 1e-30)) \
+        * jnp.sqrt(r * r + bh_a * bh_a)
+    cph = (x1 * r + x2 * bh_a) / rho_s
+    sph = (x2 * r - x1 * bh_a) / rho_s
+
+    delta = r * r - 2.0 * fp.bh_m * r + bh_a * bh_a
+    gtt_bl = -(1.0 + 2.0 * fp.bh_m * r * (r * r + bh_a * bh_a)
+               / (delta * (r * r + bh_a * bh_a * cth * cth)))
+    sigma = r * r + bh_a * bh_a * cth * cth
+    gtph_bl = -2.0 * fp.bh_m * bh_a * r / (delta * sigma)
+    gphph_bl = (sigma - 2.0 * fp.bh_m * r) / (delta * sigma * sth * sth)
+
+    ll = fp.l0 / (1.0 + rr) * jnp.power(rr, 1.0 + fp.q)
+    u_arg = -gtt_bl + 2.0 * gtph_bl * ll - gphph_bl * ll * ll
+    bad = ~(u_arg > 0.0)
+    u_norm = 1.0 / jnp.sqrt(jnp.where(u_arg > 0.0, u_arg, 1.0))
+    u_t_bl = -u_norm
+    u_ph_bl = u_norm * ll
+    ut_bl = gtt_bl * u_t_bl + gtph_bl * u_ph_bl
+    uph_bl = gtph_bl * u_t_bl + gphph_bl * u_ph_bl
+    u0 = ut_bl
+    u1 = sth * (-r * sph - bh_a * cph) * uph_bl
+    u2 = sth * (r * cph - bh_a * sph) * uph_bl
+    u3 = jnp.zeros_like(u0)
+
+    n_n0 = jnp.exp(-0.5 * (r * r / (fp.r0 * fp.r0)
+                           + fp.h * fp.h * cth * cth))
+    u_dot_k = u0 * k0 + u1 * k1 + u2 * k2 + u3 * k3
+    nu_fluid = -u_dot_k * nu * mom
+    x_raw = nu_fluid / fp.nup
+
+    ej = -fp.alpha - 2.0
+    ea = -fp.beta - fp.alpha
+    xs = jnp.where(x_raw > 0.0, x_raw, 1.0)
+    xn = jnp.where(x_raw < 0.0, -x_raw, 1.0)
+    # pow for possibly-negative base with C++ semantics (_cpp_pow)
+    if float(ej).is_integer():
+        sj = -1.0 if int(ej) % 2 else 1.0
+        pj = jnp.where(x_raw > 0.0, jnp.power(xs, ej),
+                       jnp.where(x_raw < 0.0, sj * jnp.power(xn, ej), 0.0))
+    else:
+        pj = jnp.where(x_raw > 0.0, jnp.power(xs, ej), 0.0)
+        bad = bad | (x_raw < 0.0)
+    if float(ea).is_integer():
+        sa = -1.0 if int(ea) % 2 else 1.0
+        pa = jnp.where(x_raw > 0.0, jnp.power(xs, ea),
+                       jnp.where(x_raw < 0.0, sa * jnp.power(xn, ea), 0.0))
+    else:
+        # NaN alpha routes to the j-only branch like alpha = 0
+        pa = jnp.where(x_raw > 0.0, jnp.power(xs, ea), 0.0)
+
+    j = n_n0 * pj
+    alpha = fp.a_param * fp.cn0 * n_n0 * pa * nu_fluid
+    keepf = keep
+    return (jnp.where(keepf, j, 0.0), jnp.where(keepf, alpha, 0.0),
+            bad & keepf)
+
+
+def _make_kernel(params: geo.GeodesicParams, fp, nu: float, mass_msun: float,
+                 camera_x, log_j_scale: float):
+    spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
+    x_unit = Physics.gg_msun * mass_msun / (Physics.c * Physics.c)
+    inv_nu = x_unit / nu
+    i_scale = math.exp(log_j_scale + 3.0 * math.log(nu))
+    max_steps = params.ray_max_steps
+    cam = tuple(float(v) for v in np.asarray(camera_x))
+
+    def rhs(x0, x1, x2, x3, p0, p1, p2, p3):
+        return geodesic_rhs_c(x1, x2, x3, p0, p1, p2, p3, spin, mass,
+                              flat=flat, with_distance=True)
+
+    def kernel(x0r, x1r, x2r, x3r, p0r, p1r, p2r, p3r, momr,
+               i_out, flag_out, nsamp_out):
+        x0, x1, x2, x3 = x0r[:], x1r[:], x2r[:], x3r[:]
+        p0, p1, p2, p3 = p0r[:], p1r[:], p2r[:], p3r[:]
+        mom = momr[:]
+        shape = x0.shape
+        f32 = x0.dtype
+        zero = jnp.zeros(shape, f32)
+        # Mosaic cannot carry i1 vectors through a while_loop: masks ride
+        # as int32 0/1 and convert to bool at use
+        i_false = jnp.zeros(shape, jnp.int32)
+
+        r0 = _radius_c(x1, x2, x3, spin)
+
+        state0 = dict(
+            n=jnp.zeros((), jnp.int32),
+            x0=x0, x1=x1, x2=x2, x3=x3, p1=p1, p2=p2, p3=p3,
+            h=-params.ray_step * r0,
+            alive=jnp.ones(shape, jnp.int32), trunc=i_false, flag=i_false,
+            bad=i_false, r_mid_prev=zero,
+            n_samp=jnp.zeros(shape, jnp.int32),
+            num_retry=jnp.zeros(shape, jnp.int32), prev_fail=i_false,
+            I=zero, tau=zero,
+        )
+
+        A = geo._DP_A
+        B5, B4, B4M = geo._DP_B5, geo._DP_B4, geo._DP_B4M
+
+        def cond(s):
+            return (s["n"] < max_steps) & jnp.any(s["alive"] > 0)
+
+        def body(s):
+            x0, x1, x2, x3 = s["x0"], s["x1"], s["x2"], s["x3"]
+            p1, p2, p3 = s["p1"], s["p2"], s["p3"]
+            s_alive = s["alive"] > 0
+            s_trunc = s["trunc"] > 0
+            s_flag = s["flag"] > 0
+            s_bad = s["bad"] > 0
+            s_prev_fail = s["prev_fail"] > 0
+            r = _radius_c(x1, x2, x3, spin)
+
+            k = [None] * 7
+            k[0] = rhs(x0, x1, x2, x3, p0, p1, p2, p3)
+            ds_dlam = jnp.abs(k[0][7]) + 1e-30
+            h_cap = params.ray_step * r / ds_dlam
+            h = -jnp.minimum(jnp.abs(s["h"]), h_cap)
+
+            comps = (x0, x1, x2, x3, p1, p2, p3)  # p0 conserved
+
+            def add_stage(base, weights, stages, scale):
+                # base + scale * sum_q weights[q] * k[q], componentwise over
+                # the 7 dynamical components (p0 is conserved; ds unused)
+                out = []
+                for ci in range(7):
+                    acc = None
+                    for q in stages:
+                        w = float(weights[q])
+                        if w == 0.0:
+                            continue
+                        term = (w * scale) * k[q][ci]
+                        acc = term if acc is None else acc + term
+                    out.append(base[ci] if acc is None else base[ci] + acc)
+                return out
+
+            for i in range(1, 7):
+                ysub = add_stage(comps, A[i], range(i), h)
+                k[i] = rhs(ysub[0], ysub[1], ysub[2], ysub[3], p0,
+                           ysub[4], ysub[5], ysub[6])
+
+            y5 = add_stage(comps, B5, range(7), h)
+            y4 = add_stage(comps, B4, range(7), h)
+            y4m = add_stage(comps, B4M, range(7), h)
+
+            # Error estimate over the 8 dynamical components (p0 error = 0)
+            err = jnp.zeros(shape, f32)
+            for ci in range(7):
+                ya = jnp.maximum(jnp.abs(comps[ci]), jnp.abs(y5[ci]))
+                sc = params.ray_tol_abs + params.ray_tol_rel * ya
+                err = jnp.maximum(err, jnp.abs(y5[ci] - y4[ci]) / sc)
+
+            accept = err <= 1.0
+            err_safe = jnp.maximum(err, 1e-30)
+            fac_ideal = geo._DP_ERR_FACTOR * err_safe ** (-geo._DP_ERR_POWER)
+            fac_rej = jnp.maximum(
+                jnp.where(jnp.isfinite(err), fac_ideal, geo._DP_MIN_FACTOR),
+                geo._DP_MIN_FACTOR)
+            fac_acc = jnp.clip(fac_ideal, geo._DP_MIN_FACTOR,
+                               geo._DP_MAX_FACTOR)
+            fac_acc = jnp.where(err == 0.0, geo._DP_MAX_FACTOR, fac_acc)
+            fac_acc = jnp.where(s_prev_fail, jnp.minimum(fac_acc, 1.0),
+                                fac_acc)
+            h_next = h * jnp.where(accept, fac_acc, fac_rej)
+
+            num_retry = jnp.where(accept, 0, s["num_retry"] + 1)
+            retry_exceeded = num_retry > params.ray_max_retries
+            flag = s_flag | (s_alive & retry_exceeded)
+            dead_from_retry = s_alive & retry_exceeded
+
+            # Accepted endpoint with null renormalization
+            fac = renormalize_factor_c(y5[1], y5[2], y5[3], p0,
+                                       y5[4], y5[5], y5[6], spin, mass,
+                                       flat=flat)
+            e1, e2, e3 = y5[4] * fac, y5[5] * fac, y5[6] * fac
+            r_new = _radius_c(y5[1], y5[2], y5[3], spin)
+
+            # Stored sample = 4th-order midpoint, renormalized
+            facm = renormalize_factor_c(y4m[1], y4m[2], y4m[3], p0,
+                                        y4m[4], y4m[5], y4m[6], spin, mass,
+                                        flat=flat)
+            m1, m2, m3 = y4m[4] * facm, y4m[5] * facm, y4m[6] * facm
+            r_mid = _radius_c(y4m[1], y4m[2], y4m[3], spin)
+
+            have_prev = s["n_samp"] > 0
+            trunc_now = have_prev & (
+                ((r_mid > params.camera_r) & (r_mid > s["r_mid_prev"]))
+                | (r_mid < params.r_terminate))
+            trunc = s_trunc | (accept & trunc_now)
+            valid = s_alive & accept & ~trunc & ~retry_exceeded
+
+            terminate = ((r_new > params.camera_r) & (r_new > r)) \
+                | (r_new < params.r_terminate)
+            is_last = s["n"] == max_steps - 1
+            flag = flag | (s_alive & accept & ~terminate & is_last)
+            alive = s_alive & ~(accept & terminate) & ~dead_from_retry
+
+            # --- fused transfer update at the (valid-masked) midpoint ---
+            sx0 = jnp.where(valid, y4m[0], cam[0])
+            sx1 = jnp.where(valid, y4m[1], cam[1])
+            sx2 = jnp.where(valid, y4m[2], cam[2])
+            sx3 = jnp.where(valid, y4m[3], cam[3])
+            sk0 = jnp.where(valid, p0, -1.0)
+            sk1 = jnp.where(valid, m1, 1.0)
+            sk2 = jnp.where(valid, m2, 0.0)
+            sk3 = jnp.where(valid, m3, 0.0)
+            j, alpha, cbad = _formula_coeffs_c(
+                sx0, sx1, sx2, sx3, sk0, sk1, sk2, sk3, mom, nu, fp, cam)
+            nf = ~(jnp.isfinite(j) & jnp.isfinite(alpha))
+            cbad = cbad | nf
+            j = jnp.where(cbad, 0.0, j)
+            alpha = jnp.where(cbad, 0.0, alpha)
+            bad = s_bad | (valid & cbad)
+
+            dl_cgs = jnp.where(valid, -h, 0.0) * inv_nu / mom
+            pos_alpha = alpha > 0.0
+            ss = j / jnp.where(pos_alpha, alpha, 1.0)
+            delta_tau = alpha * dl_cgs
+            atten = jnp.exp(-s["tau"])
+            thin = delta_tau <= DELTA_TAU_MAX
+            contrib = jnp.where(
+                pos_alpha,
+                jnp.where(thin, ss * (-_expm1(-delta_tau)), ss),
+                j * dl_cgs)
+            I = s["I"] + jnp.where(valid, contrib * atten, 0.0)
+            dtau_eff = jnp.where(pos_alpha,
+                                 jnp.where(thin, delta_tau, jnp.inf), 0.0)
+            tau = s["tau"] + jnp.where(valid, dtau_eff, 0.0)
+
+            step_taken = s_alive & accept
+            park = ~alive
+            nx0 = jnp.where(park, 0.0, jnp.where(step_taken, y5[0], x0))
+            nx1 = jnp.where(park, 1.0e3, jnp.where(step_taken, y5[1], x1))
+            nx2 = jnp.where(park, 0.0, jnp.where(step_taken, y5[2], x2))
+            nx3 = jnp.where(park, 0.0, jnp.where(step_taken, y5[3], x3))
+            np1 = jnp.where(park, 1.0, jnp.where(step_taken, e1, p1))
+            np2 = jnp.where(park, 0.0, jnp.where(step_taken, e2, p2))
+            np3 = jnp.where(park, 0.0, jnp.where(step_taken, e3, p3))
+
+            return dict(
+                n=s["n"] + 1,
+                x0=nx0, x1=nx1, x2=nx2, x3=nx3, p1=np1, p2=np2, p3=np3,
+                h=jnp.where(s_alive, h_next, s["h"]),
+                alive=alive.astype(jnp.int32), trunc=trunc.astype(jnp.int32),
+                flag=flag.astype(jnp.int32), bad=bad.astype(jnp.int32),
+                r_mid_prev=jnp.where(valid, r_mid, s["r_mid_prev"]),
+                n_samp=s["n_samp"] + valid.astype(jnp.int32),
+                num_retry=jnp.where(s_alive, num_retry, s["num_retry"]),
+                prev_fail=((s_alive & ~accept)
+                           | (~s_alive & s_prev_fail)).astype(jnp.int32),
+                I=I, tau=tau,
+            )
+
+        s = jax.lax.while_loop(cond, body, state0)
+        img = s["I"] * i_scale
+        poison = s["bad"] > 0
+        if params.fallback_nan:
+            poison = poison | (s["flag"] > 0)
+        i_out[:] = jnp.where(poison, jnp.nan, img)
+        flag_out[:] = s["flag"]
+        nsamp_out[:] = s["n_samp"]
+
+    return kernel
+
+
+def render_formula_dp(positions, directions, momentum_factors, frequency,
+                      params: geo.GeodesicParams, fp, mass_msun: float,
+                      camera_x, log_j_scale: float, fallback_nan: bool = True,
+                      interpret: bool = False):
+    """Pallas fused render of a ray bundle.
+
+    Args:
+      positions/directions: (B, 4) f32 camera rays (B padded to ROWS*128
+        internally); momentum_factors: (B,); frequency: scalar Hz.
+      fp: FormulaParams (plus geometry/cut fields used by the coefficient
+        function). interpret: run the kernel in interpreter mode (CPU
+        testing).
+
+    Returns (I_nu (B,), flags (B,) bool, n_samples (B,)).
+    """
+    b = positions.shape[0]
+    block = ROWS * LANES
+    n_pad = (-b) % block
+    dtype = jnp.float32
+
+    def prep(a, pad_row):
+        a = jnp.asarray(a, dtype)
+        if n_pad:
+            padding = jnp.broadcast_to(jnp.asarray(pad_row, dtype),
+                                       (n_pad,) + a.shape[1:])
+            a = jnp.concatenate([a, padding], axis=0)
+        return a
+
+    # Padding rays park far outside the camera sphere moving outward:
+    # they terminate on the first step and never produce non-finite values
+    pos = prep(positions, [0.0, 1.0e3, 0.0, 0.0])
+    # backward integration: dx^1/dlambda ~ -p_1, h < 0 => r grows for
+    # p_1 < 0 => immediate rising-radius termination
+    dirs = prep(directions, [-1.0, -1.0, 0.0, 0.0])
+    mom = prep(momentum_factors, 1.0)
+    n_blocks = (b + n_pad) // block
+
+    cols = [pos[:, 0], pos[:, 1], pos[:, 2], pos[:, 3],
+            dirs[:, 0], dirs[:, 1], dirs[:, 2], dirs[:, 3], mom]
+    cols = [c.reshape(n_blocks * ROWS, LANES) for c in cols]
+
+    kernel_params = _KParams(params, fallback_nan)
+    kernel = _make_kernel(kernel_params, fp, float(frequency), mass_msun,
+                          np.asarray(camera_x, np.float64), log_j_scale)
+
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), dtype),
+        jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), jnp.int32),
+    ]
+    i_img, flags, nsamp = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[spec] * 9,
+        out_specs=[spec] * 3,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*cols)
+    i_img = i_img.reshape(-1)[:b]
+    flags = flags.reshape(-1)[:b].astype(bool)
+    nsamp = nsamp.reshape(-1)[:b]
+    return i_img, flags, nsamp
+
+
+class _KParams:
+    """GeodesicParams view + fallback_nan for the kernel closure."""
+
+    def __init__(self, params: geo.GeodesicParams, fallback_nan: bool):
+        for f in params.__dataclass_fields__:
+            setattr(self, f, getattr(params, f))
+        self.fallback_nan = fallback_nan

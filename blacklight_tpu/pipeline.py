@@ -88,18 +88,34 @@ def make_formula_renderer(cfg, early_exit: bool = True):
     opts = ImageOptions.from_config(cfg)
     camera_x = geom.cam_x
 
-    def render_fn(positions, directions, momentum_factors, stored=None):
-        def coeff_fn(pos, kcov, mom=momentum_factors):
-            j, alpha, _, bad = formula_model.formula_coefficients(
-                pos, kcov, mom, frequencies, fparams, camera_x)
-            return j, alpha, bad
+    # One jit per renderer: momentum factors and stored samples are traced
+    # arguments, so every pixel bundle of a given shape reuses the same
+    # executable (tile dispatch would otherwise recompile per tile)
+    @functools.lru_cache(maxsize=4)
+    def fused_for(has_stored):
+        def fused(positions, directions, momentum_factors, stored):
+            def coeff_fn(pos, kcov, mom=momentum_factors):
+                j, alpha, _, bad = formula_model.formula_coefficients(
+                    pos, kcov, mom, frequencies, fparams, camera_x)
+                return j, alpha, bad
 
-        fused = jax.jit(functools.partial(
-            integrate_unpolarized, params=params, coeff_fn=coeff_fn, opts=opts,
-            mass_msun=mass_msun, camera_x=camera_x, early_exit=early_exit,
-            log_j_scale=formula_model.formula_log_j_scale(fparams),
-            stored=stored))
-        image = fused(positions, directions, momentum_factors, frequencies)
+            return integrate_unpolarized(
+                positions, directions, momentum_factors, frequencies,
+                params=params, coeff_fn=coeff_fn, opts=opts,
+                mass_msun=mass_msun, camera_x=camera_x,
+                early_exit=early_exit,
+                log_j_scale=formula_model.formula_log_j_scale(fparams),
+                stored=stored)
+        if has_stored:
+            return jax.jit(fused)
+        return jax.jit(lambda p, d, m: fused(p, d, m, None))
+
+    def render_fn(positions, directions, momentum_factors, stored=None):
+        if stored is None:
+            image = fused_for(False)(positions, directions, momentum_factors)
+        else:
+            image = fused_for(True)(positions, directions, momentum_factors,
+                                    stored)
         return jax.tree.map(lambda a: np.asarray(a), image)
 
     render_fn.geodesic_params = params

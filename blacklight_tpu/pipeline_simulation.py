@@ -148,10 +148,14 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
     sampler_opts = _sampler_options(cfg, snapshot_time)
     nu0 = float(np.asarray(frequencies)[0])
     camera_x = geom.cam_x
-    pl_consts = synchrotron.powerlaw_constants(plasma) \
-        if plasma.power_frac != 0.0 else None
-    kp_consts = synchrotron.kappa_constants(plasma, polarized=polarized) \
-        if plasma.kappa_frac != 0.0 else None
+    # Population constants are host-side scalars (Bessel/2F1 evaluations of
+    # static plasma parameters); this function may be called under jit, so
+    # force eager evaluation
+    with jax.ensure_compile_time_eval():
+        pl_consts = synchrotron.powerlaw_constants(plasma) \
+            if plasma.power_frac != 0.0 else None
+        kp_consts = synchrotron.kappa_constants(plasma, polarized=polarized) \
+            if plasma.kappa_frac != 0.0 else None
 
     def state_at(pos, prims=None):
         samples = sample_grid(grid, pos, spin, sampler_opts) \
@@ -246,42 +250,73 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
             lambda p: sample_grid(grid, p, spin, sampler_opts),
             stored[0].pos)
 
+    # One jit per (stored-kind) variant: momentum factors and stored
+    # samples are traced arguments so repeated pixel bundles of one shape
+    # share the executable (tile dispatch would otherwise recompile)
+    @functools.lru_cache(maxsize=6)
+    def fused_for(has_stored, has_prims):
+        def fused(positions, directions, momentum_factors, stored,
+                  stored_prims):
+            coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
+                cfg, grid, geom, frequencies, momentum_factors,
+                polarized=polarized, snapshot_time=snapshot_time)
+            image = {}
+            if any_image:
+                if polarized:
+                    from blacklight_tpu.transfer.polarized import (
+                        integrate_polarized)
+                    image = integrate_polarized(
+                        positions, directions, momentum_factors, frequencies,
+                        params=params, coeff_fn=coeff_fn, opts=opts,
+                        mass_msun=mass_msun, camera_x=geom.cam_x,
+                        camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
+                        camera_vert_con_c=geom.vert_con_c,
+                        log_j_scale=log_scale,
+                        rotation_split=bool(
+                            cfg.require("image_rotation_split")),
+                        stored=stored, stored_prims=stored_prims)
+                else:
+                    need_cells = (opts.lambda_ave or opts.emission_ave
+                                  or opts.tau_int)
+                    image = integrate_unpolarized(
+                        positions, directions, momentum_factors, frequencies,
+                        params=params, coeff_fn=coeff_fn, opts=opts,
+                        mass_msun=mass_msun, camera_x=geom.cam_x,
+                        cell_fn=cell_fn if need_cells else None,
+                        early_exit=early_exit, log_j_scale=log_scale,
+                        stored=stored, stored_prims=stored_prims)
+
+            if cfg.require("render_num_images") > 0:
+                from blacklight_tpu.transfer.rendering import (
+                    integrate_rendering)
+                rgb, flags, n_samp = integrate_rendering(
+                    positions, directions, params=params, cell_fn=cell_fn,
+                    render_images=tuple(cfg.render_images),
+                    mass_msun=mass_msun, stored=stored)
+                image = dict(image)
+                image["rendering"] = rgb
+                image.setdefault("_flags", flags)
+                image.setdefault("_n_samples", n_samp)
+            return image
+
+        if has_stored and has_prims:
+            return jax.jit(fused)
+        if has_stored:
+            return jax.jit(lambda p, d, m, s: fused(p, d, m, s, None))
+        return jax.jit(lambda p, d, m: fused(p, d, m, None, None))
+
     def render_fn(positions, directions, momentum_factors,
                   stored=None, stored_prims=None):
-        coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
-            cfg, grid, geom, frequencies, momentum_factors,
-            polarized=polarized, snapshot_time=snapshot_time)
-        image = {}
-        if any_image:
-            if polarized:
-                from blacklight_tpu.transfer.polarized import integrate_polarized
-                fused = jax.jit(functools.partial(
-                    integrate_polarized, params=params, coeff_fn=coeff_fn,
-                    opts=opts, mass_msun=mass_msun, camera_x=geom.cam_x,
-                    camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
-                    camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale,
-                    rotation_split=bool(cfg.require("image_rotation_split")),
-                    stored=stored, stored_prims=stored_prims))
-            else:
-                need_cells = opts.lambda_ave or opts.emission_ave or opts.tau_int
-                fused = jax.jit(functools.partial(
-                    integrate_unpolarized, params=params, coeff_fn=coeff_fn,
-                    opts=opts, mass_msun=mass_msun, camera_x=geom.cam_x,
-                    cell_fn=cell_fn if need_cells else None,
-                    early_exit=early_exit, log_j_scale=log_scale,
-                    stored=stored, stored_prims=stored_prims))
-            image = fused(positions, directions, momentum_factors, frequencies)
-
-        if cfg.require("render_num_images") > 0:
-            from blacklight_tpu.transfer.rendering import integrate_rendering
-            rgb, flags, n_samp = jax.jit(functools.partial(
-                integrate_rendering, params=params, cell_fn=cell_fn,
-                render_images=tuple(cfg.render_images), mass_msun=mass_msun,
-                stored=stored))(positions, directions)
-            image["rendering"] = rgb
-            image.setdefault("_flags", flags)
-            image.setdefault("_n_samples", n_samp)
-
+        if stored_prims is not None:
+            image = fused_for(True, True)(positions, directions,
+                                          momentum_factors, stored,
+                                          stored_prims)
+        elif stored is not None:
+            image = fused_for(True, False)(positions, directions,
+                                           momentum_factors, stored)
+        else:
+            image = fused_for(False, False)(positions, directions,
+                                            momentum_factors)
         return jax.tree.map(lambda a: np.asarray(a), image)
 
     render_fn.sample_stored = sample_stored
