@@ -265,6 +265,8 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                 if polarized:
                     from blacklight_tpu.transfer.polarized import (
                         integrate_polarized)
+                    need_cells = (opts.lambda_ave or opts.emission_ave
+                                  or opts.tau_int)
                     image = integrate_polarized(
                         positions, directions, momentum_factors, frequencies,
                         params=params, coeff_fn=coeff_fn, opts=opts,
@@ -274,7 +276,8 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                         log_j_scale=log_scale,
                         rotation_split=bool(
                             cfg.require("image_rotation_split")),
-                        stored=stored, stored_prims=stored_prims)
+                        stored=stored, stored_prims=stored_prims,
+                        cell_fn=cell_fn if need_cells else None)
                 else:
                     need_cells = (opts.lambda_ave or opts.emission_ave
                                   or opts.tau_int)

@@ -26,12 +26,12 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from blacklight_tpu.constants import Physics
+from blacklight_tpu.constants import NUM_CELL_VALUES, Physics
 from blacklight_tpu.ops import connection as connection_mod
 from blacklight_tpu.ops import geodesic, geometry
 from blacklight_tpu.ops.tetrad import tetrad_cks
 from blacklight_tpu.transfer.polarized_coupling import couple_matter
-from blacklight_tpu.transfer.unpolarized import ImageOptions
+from blacklight_tpu.transfer.unpolarized import DELTA_TAU_MAX, ImageOptions
 from blacklight_tpu.utils.errors import BlacklightError
 
 
@@ -55,21 +55,23 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
                         mass_msun: float, camera_x, camera_u_con, camera_u_cov,
                         camera_vert_con_c, log_j_scale=0.0,
                         rotation_split: bool = False, stored=None,
-                        stored_prims=None):
+                        stored_prims=None, cell_fn=None):
     """Full-Stokes transfer over a pixel bundle.
 
     Args:
       coeff_fn: (pos (B,4), kcov (B,4)) -> dict with (B, F) scaled j_i/j_q/j_v
         and unscaled alpha_i/alpha_q/alpha_v, rho_q/rho_v, plus (B, 4) 'ucon',
         'bcon' and (B,) 'b_zero' for the tetrad.
+      cell_fn: (pos, kcov) -> (B, NUM_CELL_VALUES) diagnostics (NaN where
+        invalid) for the *_ave / tau_int images (polarized.cpp:338-371).
 
     Returns dict with I_nu/Q_nu/U_nu/V_nu (B, F) plus auxiliary image planes
     and _flags/_n_samples.
     """
-    if opts.lambda_ave or opts.emission_ave or opts.tau_int:
+    need_cells = opts.lambda_ave or opts.emission_ave or opts.tau_int
+    if need_cells and cell_fn is None:
         raise BlacklightError(
-            "lambda_ave/emission_ave/tau_int with polarization not yet "
-            "supported in blacklight_tpu.")
+            "cell_fn required for lambda_ave/emission_ave/tau_int")
 
     b = positions.shape[0]
     f = frequencies.shape[0]
@@ -115,6 +117,14 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     if opts.crossings:
         state["crossings"] = jnp.zeros(b, jnp.int32)
         state["plane_sign"] = jnp.zeros(b, dtype=bool)
+    if opts.lambda_ave:
+        state["lambda_ave"] = jnp.zeros((b, f, NUM_CELL_VALUES), dtype)
+        state["lambda_tot"] = jnp.zeros((b, f), dtype)
+    if opts.emission_ave:
+        state["emission_ave"] = jnp.zeros((b, f, NUM_CELL_VALUES), dtype)
+        state["emission_tot"] = jnp.zeros((b, f), dtype)
+    if opts.tau_int:
+        state["tau_int"] = jnp.zeros((b, f, NUM_CELL_VALUES), dtype)
 
     def body(state, xs):
         pos, kcov, dl_cur, dl_nxt, valid, prims = xs
@@ -200,6 +210,40 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
             state["plane_sign"] = jnp.where(active, sign_new,
                                             state["plane_sign"])
 
+        # Cell-value-weighted images (polarized.cpp:338-371); the scan
+        # already runs far -> camera, so the tau_int recurrence applies
+        # directly
+        if need_cells:
+            cells = cell_fn(pos, kcov, **coeff_extra)
+            cells_ok = active[:, None] & ~jnp.isnan(cells[:, 0:1])
+            cells = jnp.where(jnp.isnan(cells), 0.0, cells)
+        if opts.lambda_ave:
+            state["lambda_tot"] = state["lambda_tot"] + jnp.where(
+                active[:, None], dl_cgs, 0.0)
+            upd = jnp.where(cells_ok[:, :, None],
+                            cells[:, None, :] * dl_cgs[..., None], 0.0)
+            state["lambda_ave"] = state["lambda_ave"] + upd
+        if opts.emission_ave:
+            w = coeffs["j_i"] * dl_cgs
+            state["emission_tot"] = state["emission_tot"] + jnp.where(
+                active[:, None], w, 0.0)
+            upd = jnp.where(cells_ok[:, :, None],
+                            cells[:, None, :] * w[..., None], 0.0)
+            state["emission_ave"] = state["emission_ave"] + upd
+        if opts.tau_int:
+            delta_tau = coeffs["alpha_i"] * dl_cgs
+            thin = delta_tau <= DELTA_TAU_MAX
+            # exp(-dt)*(old + cells*expm1(dt)) rewritten overflow-free:
+            # exp(-dt)*old + cells*(1 - exp(-dt))
+            exp_neg = jnp.exp(-delta_tau)
+            new_thin = exp_neg[..., None] * state["tau_int"] \
+                + cells[:, None, :] * (1.0 - exp_neg)[..., None]
+            new_thick = jnp.broadcast_to(cells[:, None, :],
+                                         state["tau_int"].shape)
+            new = jnp.where(thin[..., None], new_thin, new_thick)
+            state["tau_int"] = jnp.where(cells_ok[:, :, None], new,
+                                         state["tau_int"])
+
         # Matter coupling in the tetrad frame
         ss_end = couple_matter(ss_start, coeffs, dl_cgs, rotation_split)
 
@@ -282,6 +326,14 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
             poison, nan, state["emission"] * jnp.exp(jnp.asarray(log_j_scale, dtype)))
     if opts.tau:
         out["tau"] = jnp.where(poison, nan, state["tau"])
+    if opts.lambda_ave:
+        ave = state["lambda_ave"] / state["lambda_tot"][..., None]
+        out["lambda_ave"] = jnp.where(poison[..., None], 0.0, ave)
+    if opts.emission_ave:
+        ave = state["emission_ave"] / state["emission_tot"][..., None]
+        out["emission_ave"] = jnp.where(poison[..., None], nan, ave)
+    if opts.tau_int:
+        out["tau_int"] = jnp.where(poison[..., None], nan, state["tau_int"])
     if opts.crossings:
         out["crossings"] = state["crossings"].astype(dtype)
     return out

@@ -69,3 +69,24 @@ def test_unpolarized_consistency(fixtures_dir):
     i_u = image_u["I_nu"][:, 0]
     scale = np.nanmax(i_u)
     assert np.nanmean(np.abs(i_p - i_u)) / scale < 2e-2
+
+
+def test_polarized_ave_images_match_unpolarized(fixtures_dir):
+    """lambda_ave/emission_ave/tau_int ride the polarized scan in the
+    reference (polarized.cpp:338-371) and depend only on the Stokes-I
+    coefficients and cell values - so they must match the unpolarized
+    integrator's results on the same rays."""
+    common = dict(image_lambda_ave=True, image_emission_ave=True,
+                  image_tau_int=True, camera_resolution=8,
+                  ray_max_steps=1200)
+    cfg_u, img_u = render(fixtures_dir, "golden_polarized_rk4_32.input",
+                          image_polarization=False, **common)
+    cfg_p, img_p = render(fixtures_dir, "golden_polarized_rk4_32.input",
+                          image_polarization=True, **common)
+    for key in ("lambda_ave", "emission_ave", "tau_int"):
+        a = np.asarray(img_u[key])
+        b = np.asarray(img_p[key])
+        assert a.shape == b.shape
+        scale = np.nanmax(np.abs(a)) or 1.0
+        np.testing.assert_allclose(np.nan_to_num(b), np.nan_to_num(a),
+                                   atol=1e-8 * scale, err_msg=key)
