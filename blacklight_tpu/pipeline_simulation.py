@@ -235,6 +235,10 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
     geom, rays, frequencies = make_camera(cfg, bh_m=bh_m, bh_a=bh_a, dtype=dtype)
     params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
     opts = ImageOptions.from_config(cfg)
+    slow = cfg.require("simulation_multiple") and bool(cfg.slow_light_on)
+    if slow:
+        import dataclasses
+        opts = dataclasses.replace(opts, track_sample_times=True)
     polarized = bool(cfg.require("image_polarization")) if cfg.require("image_light") \
         else False
     any_image = (cfg.require("image_light") or opts.time or opts.length
@@ -320,11 +324,56 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
         else:
             image = fused_for(False, False)(positions, directions,
                                             momentum_factors)
-        return jax.tree.map(lambda a: np.asarray(a), image)
+        image = jax.tree.map(lambda a: np.asarray(a), image)
+        if slow and "_t_min" in image:
+            _check_time_extrapolation(image, grid, snapshot_time, snapshot)
+        return image
 
     render_fn.sample_stored = sample_stored
     render_fn.geodesic_params = params
     return render_fn, geom, rays, frequencies, mass_msun
+
+
+def _check_time_extrapolation(image, grid, snapshot_time, snapshot):
+    """Reproduce the reference's slow-light extrapolation diagnostics
+    (simulation_sampling.cpp:578-616): error when any pixel's samples
+    extend beyond the time window by more than the tolerance, warn when
+    within it."""
+    from blacklight_tpu.grid.slowlight import EXTRAPOLATION_TOLERANCE as TOL
+
+    times = np.asarray(grid.times)
+    t_min = np.asarray(image["_t_min"]) + snapshot_time
+    t_max = np.asarray(image["_t_max"]) + snapshot_time
+    num_pix = t_min.shape[0]
+    finite = np.isfinite(t_min)
+    src_over = np.where(finite, times[-1] - t_min, 0.0)
+    cam_over = np.where(np.isfinite(t_max), t_max - times[0], 0.0)
+    n_src_large = int(np.sum(src_over > TOL))
+    n_src_small = int(np.sum((src_over > 0.0) & (src_over <= TOL)))
+    n_cam_large = int(np.sum(cam_over > TOL))
+    n_cam_small = int(np.sum((cam_over > 0.0) & (cam_over <= TOL)))
+    sn = 0 if snapshot is None else snapshot
+    if n_cam_large:
+        raise BlacklightError(
+            f"Snapshot {sn} at time {snapshot_time} requires significant "
+            f"extrapolation forward in time ({n_cam_large}/{num_pix} pixels, "
+            f"by up to {np.max(cam_over):.6g} gravitational times).")
+    if n_src_large:
+        raise BlacklightError(
+            f"Snapshot {sn} at time {snapshot_time} requires significant "
+            f"extrapolation backward in time ({n_src_large}/{num_pix} "
+            f"pixels, by up to {np.max(src_over):.6g} gravitational times).")
+    from blacklight_tpu.utils.errors import blacklight_warning
+    if n_cam_small:
+        blacklight_warning(
+            f"Snapshot {sn} at time {snapshot_time} requires moderate "
+            f"extrapolation forward in time ({n_cam_small}/{num_pix} pixels, "
+            f"by up to {np.max(cam_over):.6g} gravitational times).")
+    if n_src_small:
+        blacklight_warning(
+            f"Snapshot {sn} at time {snapshot_time} requires moderate "
+            f"extrapolation backward in time ({n_src_small}/{num_pix} "
+            f"pixels, by up to {np.max(src_over):.6g} gravitational times).")
 
 
 def render_simulation_image(cfg, snapshot: Optional[int] = None,

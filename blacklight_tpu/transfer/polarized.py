@@ -125,6 +125,9 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         state["emission_tot"] = jnp.zeros((b, f), dtype)
     if opts.tau_int:
         state["tau_int"] = jnp.zeros((b, f, NUM_CELL_VALUES), dtype)
+    if opts.track_sample_times:
+        state["t_min"] = jnp.full(b, jnp.inf, dtype)
+        state["t_max"] = jnp.full(b, -jnp.inf, dtype)
 
     def body(state, xs):
         pos, kcov, dl_cur, dl_nxt, valid, prims = xs
@@ -209,6 +212,15 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
             state["crossings"] = state["crossings"] + flipped.astype(jnp.int32)
             state["plane_sign"] = jnp.where(active, sign_new,
                                             state["plane_sign"])
+
+        if opts.track_sample_times:
+            t = pos[:, 0]
+            state["t_min"] = jnp.where(active,
+                                       jnp.minimum(state["t_min"], t),
+                                       state["t_min"])
+            state["t_max"] = jnp.where(active,
+                                       jnp.maximum(state["t_max"], t),
+                                       state["t_max"])
 
         # Cell-value-weighted images (polarized.cpp:338-371); the scan
         # already runs far -> camera, so the tau_int recurrence applies
@@ -336,4 +348,7 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         out["tau_int"] = jnp.where(poison[..., None], nan, state["tau_int"])
     if opts.crossings:
         out["crossings"] = state["crossings"].astype(dtype)
+    if opts.track_sample_times:
+        out["_t_min"] = state["t_min"]
+        out["_t_max"] = state["t_max"]
     return out

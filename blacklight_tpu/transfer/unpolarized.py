@@ -54,6 +54,10 @@ class ImageOptions:
     tau_int: bool = False
     crossings: bool = False
     fallback_nan: bool = True
+    # Slow light: track per-pixel min/max sample coordinate times so the
+    # pipeline can reproduce the reference's extrapolation errors/warnings
+    # (simulation_sampling.cpp:578-616)
+    track_sample_times: bool = False
 
     @staticmethod
     def from_config(cfg) -> "ImageOptions":
@@ -156,6 +160,9 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         state["crossings"] = jnp.zeros(b, jnp.int32)
         state["plane_sign"] = jnp.zeros(b, dtype=bool)
         state["sign_set"] = jnp.zeros(b, dtype=bool)
+    if opts.track_sample_times:
+        state["t_min"] = jnp.full(b, jnp.inf, dtype)
+        state["t_max"] = jnp.full(b, -jnp.inf, dtype)
 
     safe_pos = jnp.asarray(camera_x, dtype)
     safe_dir = jnp.asarray(jnp.array([-1.0, 1.0, 0.0, 0.0], dtype))
@@ -270,6 +277,12 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
             state["crossings"] = state["crossings"] + flipped.astype(jnp.int32)
             state["plane_sign"] = jnp.where(valid, sign_new, state["plane_sign"])
             state["sign_set"] = state["sign_set"] | valid
+        if opts.track_sample_times:
+            t = sample.pos[:, 0]
+            state["t_min"] = jnp.where(valid, jnp.minimum(state["t_min"], t),
+                                       state["t_min"])
+            state["t_max"] = jnp.where(valid, jnp.maximum(state["t_max"], t),
+                                       state["t_max"])
         return state
 
     if stored is not None:
@@ -326,4 +339,7 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         out["tau_int"] = jnp.where(poison_c[..., None], nan, state["tau_int"])
     if opts.crossings:
         out["crossings"] = state["crossings"].astype(dtype)
+    if opts.track_sample_times:
+        out["_t_min"] = state["t_min"]
+        out["_t_max"] = state["t_max"]
     return out

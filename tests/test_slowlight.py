@@ -74,16 +74,19 @@ def test_slow_light_time_variation(tmp_path):
     disk; nearest-slice and interpolated modes agree on the trend."""
     write_series(tmp_path, times=[0.0, 400.0, 800.0, 1200.0],
                  amps=[0.5, 1.0, 1.5, 2.0])
-    img0 = pipeline.run(slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2),
+    img0 = pipeline.run(slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2,
+                                 chunk=3),
                         snapshot=0, quiet=True)
-    img1 = pipeline.run(slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2),
+    img1 = pipeline.run(slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2,
+                                 chunk=3),
                         snapshot=1, quiet=True)
     f0 = np.nansum(img0["I_nu"])
     f1 = np.nansum(img1["I_nu"])
     assert f1 > f0 > 0.0
 
     nearest = pipeline.run(
-        slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2, interp=False),
+        slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2, interp=False,
+                 chunk=3),
         snapshot=1, quiet=True)
     fn = np.nansum(nearest["I_nu"])
     assert fn > f0
@@ -99,3 +102,38 @@ def test_slow_light_insufficient_files_raises(tmp_path):
     cfg = slow_cfg(tmp_path, end=1, chunk=2, t_start=5000.0, dt=0.0)
     with pytest.raises(BlacklightError):
         pipeline.run(cfg, snapshot=0, quiet=True)
+
+
+def test_slow_light_extrapolation_error(tmp_path):
+    """Samples extending beyond the oldest window slice by more than the
+    tolerance raise, exactly like the reference
+    (simulation_sampling.cpp:578-616): chunk 2 at snapshot time 500 only
+    holds [400, 800] while rays look back ~120 gravitational times."""
+    from blacklight_tpu.utils.errors import BlacklightError
+    write_series(tmp_path, times=[0.0, 400.0, 800.0, 1200.0],
+                 amps=[0.5, 1.0, 1.5, 2.0])
+    with pytest.raises(BlacklightError, match="backward in time"):
+        pipeline.run(slow_cfg(tmp_path, t_start=500.0, dt=600.0, num=2,
+                              chunk=2),
+                     snapshot=0, quiet=True)
+
+
+def test_slow_light_golden_vs_reference(tmp_path):
+    """Slow-light window + per-sample linear time interpolation match the
+    compiled reference binary on a stored time-varying snapshot series
+    (fixtures/slowlight; series built with the reference's own mock
+    generator, Time attributes and densities patched per slice)."""
+    import pathlib
+    fixtures = pathlib.Path(__file__).parent / "fixtures" / "slowlight"
+    from blacklight_tpu import read_config
+    cfg = read_config(str(fixtures / "golden_slow.input"))
+    cfg.simulation_file = str(fixtures / "small.{5d}.athdf")
+    cfg.output_file = str(tmp_path / "slow_{d}.npz")
+    for snap in (0, 1):
+        ours = pipeline.run(cfg, snapshot=snap, quiet=True)
+        ref = np.load(fixtures / f"golden_slow_{snap}.npz")
+        scale = np.nanmax(np.abs(ref["I_nu"]))
+        rel = np.abs(ours["I_nu"] - ref["I_nu"]) / (np.abs(ref["I_nu"])
+                                                    + scale * 1e-8)
+        assert np.array_equal(np.isnan(ours["I_nu"]), np.isnan(ref["I_nu"]))
+        assert np.nanmax(rel) < 1e-7, (snap, np.nanmax(rel))
