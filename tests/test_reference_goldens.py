@@ -47,3 +47,39 @@ def test_adaptive_golden_parity(fixtures_dir, tmp_path):
         b = ref["adaptive_I_nu_1"][r_map[loc]]
         rel = np.abs(a - b) / (np.abs(b) + scale * 1e-8)
         assert np.nanmax(rel) < 1e-8, loc
+
+
+def test_pinhole_golden_parity(fixtures_dir, tmp_path):
+    """Pinhole-camera simulation render matches the reference binary
+    (SetPixelPinhole, camera.cpp:608-671)."""
+    p = dict(gen.DEFAULTS)
+    fields = gen.make_fields(p)
+    gen.write_athena(str(tmp_path / "mock.athdf"), fields, p)
+    cfg = read_config(str(fixtures_dir / "golden_pinhole_32.input"))
+    cfg.simulation_file = str(tmp_path / "mock.athdf")
+    cfg.output_file = str(tmp_path / "out.npz")
+    ours = pipeline.run(cfg, quiet=True)
+    ref = np.load(fixtures_dir / "golden_pinhole_32.npz")
+    scale = np.nanmax(np.abs(ref["I_nu"]))
+    rel = np.abs(ours["I_nu"] - ref["I_nu"]) / (np.abs(ref["I_nu"])
+                                                + scale * 1e-8)
+    assert np.array_equal(np.isnan(ours["I_nu"]), np.isnan(ref["I_nu"]))
+    assert np.nanmax(rel) < 1e-8
+
+
+def test_code_kappa_golden_parity(fixtures_dir, tmp_path):
+    """code_kappa electron-entropy temperature model matches the reference
+    binary (simulation_coefficients.cpp:351-358)."""
+    p = dict(gen.DEFAULTS)
+    fields = gen.make_fields(p)
+    gen.write_athena(str(tmp_path / "mock.athdf"), fields, p, kappa=True)
+    cfg = read_config(str(fixtures_dir / "golden_code_kappa_32.input"))
+    cfg.simulation_file = str(tmp_path / "mock.athdf")
+    cfg.output_file = str(tmp_path / "out.npz")
+    ours = pipeline.run(cfg, quiet=True)
+    ref = np.load(fixtures_dir / "golden_code_kappa_32.npz")
+    scale = np.nanmax(np.abs(ref["I_nu"]))
+    rel = np.abs(ours["I_nu"] - ref["I_nu"]) / (np.abs(ref["I_nu"])
+                                                + scale * 1e-8)
+    assert np.array_equal(np.isnan(ours["I_nu"]), np.isnan(ref["I_nu"]))
+    assert np.nanmax(rel) < 1e-8
