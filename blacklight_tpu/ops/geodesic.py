@@ -435,6 +435,12 @@ def streaming_reduce(positions, directions, params: GeodesicParams,
         state = contribution_fn(state, sample)
         return (carry, state), None
 
-    (carry, state), _ = jax.lax.scan(body, (carry0, init_state),
+    # Rematerialize per-step internals in the backward pass: without this,
+    # reverse-mode stores every intermediate of every step (RK stages,
+    # coefficients, ...) - O(steps * B * internals) memory; with it, only
+    # the per-step carries are saved and the body recomputes (SURVEY hard
+    # part 5: checkpointed scan instead of storing 7000 steps).
+    (carry, state), _ = jax.lax.scan(jax.checkpoint(body),
+                                     (carry0, init_state),
                                      jnp.arange(params.ray_max_steps))
     return state, carry.flag, carry.n_samples
