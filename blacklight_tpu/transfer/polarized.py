@@ -26,7 +26,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from blacklight_tpu.constants import NUM_CELL_VALUES, Physics
+from blacklight_tpu.constants import NUM_CELL_VALUES, Physics, RayIntegrator
 from blacklight_tpu.ops import connection as connection_mod
 from blacklight_tpu.ops import geodesic, geometry
 from blacklight_tpu.ops.tetrad import tetrad_cks
@@ -85,23 +85,34 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     else:
         samples, flags, n_samples = geodesic.trace_geodesics(
             positions, directions, params)
-        samples = geodesic.compact_samples(samples)
+        if params.integrator == RayIntegrator.dp:
+            # Only dp leaves holes (rejected attempts); rk samples are
+            # already prefix-valid and the argsort compaction is ~7x the
+            # cost of the trace itself on TPU
+            samples = geodesic.compact_samples(samples)
     s_len = samples.len.shape[0]
 
     # delta_lambda_new: the next (nearer-to-camera) sample's step, or the
     # current one at the camera end (polarized.cpp:121-124 after reversal).
     dl = -samples.len                                     # (S, B), positive
     dl_next = jnp.concatenate([dl[:1], dl[:-1]], axis=0)  # shifted toward camera
+    # Previous processed sample (farther from the camera; the scan runs in
+    # reverse) as shifted rows: valid samples are contiguous from index 0
+    # (rk integrators emit prefix-valid rows; dp rows are compacted), so
+    # row n+1 IS the previously processed sample. Recomputing the
+    # connection there each step replaces a (B,4,4,4) carry whose HBM
+    # round-trip dominated the whole integrator (~8 MB/step at 16k rays).
+    pos_prev = jnp.concatenate([samples.pos[1:], samples.pos[-1:]], axis=0)
+    dir_prev = jnp.concatenate([samples.dir[1:], samples.dir[-1:]], axis=0)
+    dl_prev = jnp.concatenate([dl[1:], dl[-1:]], axis=0)
+    valid_prev = jnp.concatenate(
+        [samples.valid[1:], jnp.zeros_like(samples.valid[-1:])], axis=0)
 
     spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
 
     state = {
         "nn": jnp.zeros((b, f, 4, 4), cdtype),
         "nn_temp": jnp.zeros((b, f, 4, 4), cdtype),
-        "kcon_old": jnp.zeros((b, 4), dtype),
-        "conn_old": jnp.zeros((b, 4, 4, 4), dtype),
-        "dl_old": jnp.zeros(b, dtype),
-        "started": jnp.zeros(b, dtype=bool),
         "coeff_bad": jnp.zeros((b, f), dtype=bool),
     }
     if opts.time:
@@ -130,10 +141,11 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         state["t_max"] = jnp.full(b, -jnp.inf, dtype)
 
     def body(state, xs):
-        pos, kcov, dl_cur, dl_nxt, valid, prims = xs
+        (pos, kcov, dl_cur, dl_nxt, valid, prims,
+         pos_pv, dir_pv, dl_pv, valid_pv) = xs
         coeff_extra = {} if prims is None else {"prims": prims}
         active = valid
-        started = state["started"]
+        started = valid_pv
         first = active & ~started
         av = active.astype(dtype)
 
@@ -141,15 +153,18 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
                                              * momentum_factors[:, None])
 
         conn = connection_mod.connection_cks(pos[:, 1:4], spin, mass, flat=flat)
+        conn_prev = connection_mod.connection_cks(pos_pv[:, 1:4], spin, mass,
+                                                  flat=flat)
         conn_old = jnp.where(first[:, None, None, None], conn,
-                             0.5 * (state["conn_old"] + conn))
+                             0.5 * (conn_prev + conn))
         kcon = _kcon_scalar(pos, kcov, spin, mass, flat)
+        kcon_prev = _kcon_scalar(pos_pv, dir_pv, spin, mass, flat)
         kcon_old = jnp.where(first[:, None], kcon,
-                             0.5 * (state["kcon_old"] + kcon))
+                             0.5 * (kcon_prev + kcon))
 
         # First-half parallel transport (polarized.cpp:174-192)
         temp_a = jnp.einsum("Ba,Bmab->Bmb", kcon_old, conn_old)
-        dl_local = 0.5 * (jnp.where(first, 0.0, state["dl_old"]) + dl_cur)
+        dl_local = 0.5 * (jnp.where(first, 0.0, dl_pv) + dl_cur)
         nn = state["nn"]
         dnn = -(jnp.einsum("Bmb,BFbn->BFmn", temp_a.astype(cdtype), nn)
                 + jnp.einsum("Bnb,BFmb->BFmn", temp_a.astype(cdtype), nn))
@@ -284,14 +299,10 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         act_c = active[:, None, None, None]
         state["nn"] = jnp.where(act_c, nn_new, state["nn"])
         state["nn_temp"] = jnp.where(act_c, nn_post, state["nn_temp"])
-        state["kcon_old"] = jnp.where(active[:, None], kcon, state["kcon_old"])
-        state["conn_old"] = jnp.where(active[:, None, None, None], conn,
-                                      state["conn_old"])
-        state["dl_old"] = jnp.where(active, dl_cur, state["dl_old"])
-        state["started"] = started | active
         return state, None
 
-    xs = (samples.pos, samples.dir, dl, dl_next, samples.valid, stored_prims)
+    xs = (samples.pos, samples.dir, dl, dl_next, samples.valid, stored_prims,
+          pos_prev, dir_prev, dl_prev, valid_prev)
     state, _ = jax.lax.scan(body, state, xs, reverse=True)
 
     # Camera-frame Stokes extraction (polarized.cpp:846-949)

@@ -18,7 +18,7 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-from blacklight_tpu.constants import Physics, RenderType
+from blacklight_tpu.constants import Physics, RayIntegrator, RenderType
 from blacklight_tpu.ops import geodesic, geometry
 
 DELTA_TAU_MAX = 100.0
@@ -48,7 +48,11 @@ def integrate_rendering(positions, directions, params: geodesic.GeodesicParams,
     else:
         samples, flags, n_samples = geodesic.trace_geodesics(
             positions, directions, params)
-        samples = geodesic.compact_samples(samples)
+        if params.integrator == RayIntegrator.dp:
+            # Only dp leaves holes (rejected attempts); rk samples are
+            # already prefix-valid and the argsort compaction is ~7x the
+            # cost of the trace itself on TPU
+            samples = geodesic.compact_samples(samples)
 
     state = {
         "rgb": jnp.zeros((b, n_images, 3), dtype),
