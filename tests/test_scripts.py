@@ -53,6 +53,22 @@ def test_calculate_flux_adaptive_matches_plain(outputs):
     assert abs(f_left - f_plain) < 0.02 * f_plain
 
 
+def test_calculate_flux_matches_reference_algorithm():
+    """Pin adaptive flux on the reference-binary golden output.
+
+    The expected value was computed by running the reference's own
+    block-masking algorithm (scripts/calculate_flux.py:155-209, with its
+    py2-era integer divisions fixed) on the same npz; our flux_jy must
+    reproduce it exactly (same nanmean-per-block accumulation order).
+    """
+    from calculate_flux import flux_jy
+    fixture = pathlib.Path(__file__).parent / "fixtures" / "golden_adaptive_32.npz"
+    with np.load(fixture) as f:
+        data = {k: f[k] for k in f.files}
+    assert flux_jy(data, distance_pc=5.07e9) == pytest.approx(
+        1.0689442032207076e-12, rel=1e-14)
+
+
 def test_join_outputs_union(outputs):
     from join_outputs import join
     d = outputs["dir"]
