@@ -76,7 +76,6 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     b = positions.shape[0]
     f = frequencies.shape[0]
     dtype = positions.dtype
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     x_unit = Physics.gg_msun * mass_msun / (Physics.c * Physics.c)
     t_unit = x_unit / Physics.c
 
@@ -110,9 +109,16 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
 
     spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
 
+    # The coherency tensor N is Hermitian and all rotation coefficients
+    # (connection contractions, tetrads) are REAL, so N is carried as
+    # explicit (re, im) real parts: complex einsums against a real-valued
+    # operand cast to complex do twice the arithmetic (the zero imaginary
+    # part is multiplied through), and TPUs have no native complex type.
     state = {
-        "nn": jnp.zeros((b, f, 4, 4), cdtype),
-        "nn_temp": jnp.zeros((b, f, 4, 4), cdtype),
+        "nn_re": jnp.zeros((b, f, 4, 4), dtype),
+        "nn_im": jnp.zeros((b, f, 4, 4), dtype),
+        "nn_temp_re": jnp.zeros((b, f, 4, 4), dtype),
+        "nn_temp_im": jnp.zeros((b, f, 4, 4), dtype),
         "coeff_bad": jnp.zeros((b, f), dtype=bool),
     }
     if opts.time:
@@ -162,13 +168,24 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         kcon_old = jnp.where(first[:, None], kcon,
                              0.5 * (kcon_prev + kcon))
 
-        # First-half parallel transport (polarized.cpp:174-192)
+        # First-half parallel transport (polarized.cpp:174-192):
+        # dN^{mn} = -(A^m_b N^{bn} + A^n_b N^{mb}) with real A = k.Gamma,
+        # applied to re/im parts independently
         temp_a = jnp.einsum("Ba,Bmab->Bmb", kcon_old, conn_old)
         dl_local = 0.5 * (jnp.where(first, 0.0, dl_pv) + dl_cur)
-        nn = state["nn"]
-        dnn = -(jnp.einsum("Bmb,BFbn->BFmn", temp_a.astype(cdtype), nn)
-                + jnp.einsum("Bnb,BFmb->BFmn", temp_a.astype(cdtype), nn))
-        nn_half = state["nn_temp"] + dnn * dl_local[:, None, None, None]
+
+        def transported(a_mat, base_re, base_im, n_re, n_im, dll):
+            d = dll[:, None, None, None]
+            out = []
+            for base, n in ((base_re, n_re), (base_im, n_im)):
+                dn = -(jnp.einsum("Bmb,BFbn->BFmn", a_mat, n)
+                       + jnp.einsum("Bnb,BFmb->BFmn", a_mat, n))
+                out.append(base + dn * d)
+            return out
+
+        nn_half_re, nn_half_im = transported(
+            temp_a, state["nn_temp_re"], state["nn_temp_im"],
+            state["nn_re"], state["nn_im"], dl_local)
 
         # Fluid state, coefficients, tetrad
         coeffs = coeff_fn(pos, kcov, **coeff_extra)
@@ -187,15 +204,18 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         upcon = jnp.where(b_zero[:, None], zhat, bcon)
         tet = tetrad_cks(ucon, ucov, kcon, kcov, upcon, g_cov, g_con)
 
-        # N -> tetrad covariant components (polarized.cpp:264-292)
+        # N -> tetrad covariant components (polarized.cpp:264-292). Only the
+        # (1,2)x(1,2) tetrad block feeds the Stokes vector, so contract just
+        # those two tetrad rows (2x4 instead of 4x4)
         e_cov = jnp.einsum("Ban,Bnm->Bam", tet, g_cov)
-        nn_tet = jnp.einsum("Bam,Bbn,BFmn->BFab",
-                            e_cov.astype(cdtype), e_cov.astype(cdtype), nn_half)
+        e12 = e_cov[:, 1:3, :]
+        nt_re = jnp.einsum("Bam,Bbn,BFmn->BFab", e12, e12, nn_half_re)
+        nt_im = jnp.einsum("Bam,Bbn,BFmn->BFab", e12, e12, nn_half_im)
         ss_start = jnp.stack([
-            0.5 * (nn_tet[..., 1, 1] + nn_tet[..., 2, 2]).real,
-            0.5 * (nn_tet[..., 1, 1] - nn_tet[..., 2, 2]).real,
-            0.5 * (nn_tet[..., 1, 2] + nn_tet[..., 2, 1]).real,
-            0.5 * (nn_tet[..., 2, 1] - nn_tet[..., 1, 2]).imag,
+            0.5 * (nt_re[..., 0, 0] + nt_re[..., 1, 1]),
+            0.5 * (nt_re[..., 0, 0] - nt_re[..., 1, 1]),
+            0.5 * (nt_re[..., 0, 1] + nt_re[..., 1, 0]),
+            0.5 * (nt_im[..., 1, 0] - nt_im[..., 0, 1]),
         ], axis=-1)
 
         # Auxiliary image planes (same accumulations as unpolarized)
@@ -274,31 +294,33 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         # Matter coupling in the tetrad frame
         ss_end = couple_matter(ss_start, coeffs, dl_cgs, rotation_split)
 
-        # Stokes -> N (I 13; polarized.cpp:793-800)
-        zero_c = jnp.zeros_like(ss_end[..., 0], dtype=cdtype)
-        n11 = (ss_end[..., 0] + ss_end[..., 1]).astype(cdtype)
-        n22 = (ss_end[..., 0] - ss_end[..., 1]).astype(cdtype)
-        n12 = ss_end[..., 2].astype(cdtype) - 1j * ss_end[..., 3].astype(cdtype)
-        n21 = ss_end[..., 2].astype(cdtype) + 1j * ss_end[..., 3].astype(cdtype)
-        row0 = jnp.stack([zero_c, zero_c, zero_c, zero_c], axis=-1)
-        row1 = jnp.stack([zero_c, n11, n12, zero_c], axis=-1)
-        row2 = jnp.stack([zero_c, n21, n22, zero_c], axis=-1)
-        nn_tet_con = jnp.stack([row0, row1, row2, row0], axis=-2)
-
-        # Back to coordinate frame (polarized.cpp:802-813)
-        nn_post = jnp.einsum("Bam,Bbn,BFab->BFmn",
-                             tet.astype(cdtype), tet.astype(cdtype), nn_tet_con)
+        # Stokes -> N (I 13; polarized.cpp:793-800): the tetrad-frame N is
+        # nonzero only in the 2x2 transverse block
+        #   re = [[I+Q, U], [U, I-Q]],  im = [[0, -V], [V, 0]]
+        # so the return to coordinates (polarized.cpp:802-813) contracts a
+        # (B,2,4) tetrad slice against (B,F,2,2)
+        s_i, s_q = ss_end[..., 0], ss_end[..., 1]
+        s_u, s_v = ss_end[..., 2], ss_end[..., 3]
+        zero = jnp.zeros_like(s_i)
+        m_re = jnp.stack([jnp.stack([s_i + s_q, s_u], axis=-1),
+                          jnp.stack([s_u, s_i - s_q], axis=-1)], axis=-2)
+        m_im = jnp.stack([jnp.stack([zero, -s_v], axis=-1),
+                          jnp.stack([s_v, zero], axis=-1)], axis=-2)
+        t12 = tet[:, 1:3, :]
+        nn_post_re = jnp.einsum("Bam,Bbn,BFab->BFmn", t12, t12, m_re)
+        nn_post_im = jnp.einsum("Bam,Bbn,BFab->BFmn", t12, t12, m_im)
 
         # Second-half transport (polarized.cpp:815-833)
         temp_g = jnp.einsum("Ba,Bmab->Bmb", kcon, conn)
         dl_local2 = 0.25 * (dl_cur + dl_nxt)
-        dnn2 = -(jnp.einsum("Bmb,BFbn->BFmn", temp_g.astype(cdtype), nn_post)
-                 + jnp.einsum("Bnb,BFmb->BFmn", temp_g.astype(cdtype), nn_post))
-        nn_new = nn_post + dnn2 * dl_local2[:, None, None, None]
+        nn_new_re, nn_new_im = transported(
+            temp_g, nn_post_re, nn_post_im, nn_post_re, nn_post_im, dl_local2)
 
         act_c = active[:, None, None, None]
-        state["nn"] = jnp.where(act_c, nn_new, state["nn"])
-        state["nn_temp"] = jnp.where(act_c, nn_post, state["nn_temp"])
+        state["nn_re"] = jnp.where(act_c, nn_new_re, state["nn_re"])
+        state["nn_im"] = jnp.where(act_c, nn_new_im, state["nn_im"])
+        state["nn_temp_re"] = jnp.where(act_c, nn_post_re, state["nn_temp_re"])
+        state["nn_temp_im"] = jnp.where(act_c, nn_post_im, state["nn_temp_im"])
         return state, None
 
     xs = (samples.pos, samples.dir, dl, dl_next, samples.valid, stored_prims,
@@ -320,14 +342,15 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     u_cov_b = jnp.broadcast_to(camera_u_cov, (b, 4))
     tet = tetrad_cks(u_con_b, u_cov_b, kcon, directions, up_con, g_cov, g_con)
     e_cov = jnp.einsum("Ban,Bnm->Bam", tet, g_cov)
-    nn_tet = jnp.einsum("Bam,Bbn,BFmn->BFab",
-                        e_cov.astype(cdtype), e_cov.astype(cdtype), state["nn"])
+    e12 = e_cov[:, 1:3, :]
+    nt_re = jnp.einsum("Bam,Bbn,BFmn->BFab", e12, e12, state["nn_re"])
+    nt_im = jnp.einsum("Bam,Bbn,BFmn->BFab", e12, e12, state["nn_im"])
     scale = jnp.exp(jnp.asarray(log_j_scale, dtype)
                     + 3.0 * jnp.log(frequencies[None, :].astype(dtype)))
-    stokes_i = 0.5 * (nn_tet[..., 1, 1] + nn_tet[..., 2, 2]).real * scale
-    stokes_q = 0.5 * (nn_tet[..., 1, 1] - nn_tet[..., 2, 2]).real * scale
-    stokes_u = 0.5 * (nn_tet[..., 1, 2] + nn_tet[..., 2, 1]).real * scale
-    stokes_v = 0.5 * (nn_tet[..., 2, 1] - nn_tet[..., 1, 2]).imag * scale
+    stokes_i = 0.5 * (nt_re[..., 0, 0] + nt_re[..., 1, 1]) * scale
+    stokes_q = 0.5 * (nt_re[..., 0, 0] - nt_re[..., 1, 1]) * scale
+    stokes_u = 0.5 * (nt_re[..., 0, 1] + nt_re[..., 1, 0]) * scale
+    stokes_v = 0.5 * (nt_im[..., 1, 0] - nt_im[..., 0, 1]) * scale
 
     nan = jnp.array(jnp.nan, dtype)
     poison = (flags & opts.fallback_nan)[:, None] | state["coeff_bad"]
