@@ -156,8 +156,12 @@ def main() -> None:
             if n / t_pal > rays_per_s:
                 rays_per_s = n / t_pal
                 label = "pallas fused geodesic+RT"
-    except Exception:
-        pass  # scan-path number stands
+    except Exception as exc:  # scan-path number stands, but say why
+        import sys
+        import traceback
+        print(f"WARNING: Pallas kernel path failed ({exc!r}); "
+              "reporting the XLA-scan number instead.", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
 
     print(json.dumps({
         "metric": f"rays/s/chip formula {RESOLUTION}^2 {label}",

@@ -130,6 +130,18 @@ def evaluate_blocks(intensity: np.ndarray, p: AdaptiveParams) -> np.ndarray:
             flags |= _frac_exceeding(np.hypot(qx, qy),
                                      p.abs_grad_cut) > p.abs_grad_frac
         if p.rel_grad_frac >= 0.0:
+            # Unhalved centered difference for the rel-grad numerator
+            # (radiation_adaptive.cpp:225-250): interior q_x is
+            # 2*(I2-I0)/(I0+2*I1+I2), i.e. the numerator is the FULL
+            # centered difference, unlike abs-grad's 0.5*(I2-I0).
+            gx = np.empty_like(I)
+            gx[:, :, 0] = I[:, :, 1] - I[:, :, 0]
+            gx[:, :, -1] = I[:, :, -1] - I[:, :, -2]
+            gx[:, :, 1:-1] = I[:, :, 2:] - I[:, :, :-2]
+            gy = np.empty_like(I)
+            gy[:, 0, :] = I[:, 1, :] - I[:, 0, :]
+            gy[:, -1, :] = I[:, -1, :] - I[:, -2, :]
+            gy[:, 1:-1, :] = I[:, 2:, :] - I[:, :-2, :]
             dx = np.empty_like(I)
             dx[:, :, 0] = I[:, :, 0] + I[:, :, 1]
             dx[:, :, -1] = I[:, :, -2] + I[:, :, -1]
@@ -139,7 +151,7 @@ def evaluate_blocks(intensity: np.ndarray, p: AdaptiveParams) -> np.ndarray:
             dy[:, -1, :] = I[:, -2, :] + I[:, -1, :]
             dy[:, 1:-1, :] = I[:, :-2, :] + 2.0 * I[:, 1:-1, :] + I[:, 2:, :]
             with np.errstate(invalid="ignore", divide="ignore"):
-                q = np.hypot(2.0 * qx / dx, 2.0 * qy / dy)
+                q = np.hypot(2.0 * gx / dx, 2.0 * gy / dy)
             flags |= _frac_exceeding(q, p.rel_grad_cut) > p.rel_grad_frac
 
     if p.abs_lapl_frac >= 0.0 or p.rel_lapl_frac >= 0.0:

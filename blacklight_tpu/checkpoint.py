@@ -24,8 +24,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from blacklight_tpu import native
 from blacklight_tpu.ops import geodesic
 from blacklight_tpu.utils.errors import BlacklightError
+
+
+def _payload_crc(arrays: dict) -> np.ndarray:
+    """CRC-32 over every array's raw bytes (key-sorted), via the native
+    OpenMP slicing-by-8 kernel (native/blio.cpp blio_crc32) - plays the
+    integrity role the reference's ZIP CRC does for its outputs
+    (zip_format.cpp:289-362), here guarding checkpoint round-trips."""
+    crc = 0
+    for k in sorted(arrays):
+        a = np.ascontiguousarray(np.atleast_1d(arrays[k]))
+        crc = native.crc32(a.view(np.uint8).reshape(-1), seed=crc)
+    return np.uint32(crc)
+
+
+def _verify_crc(f, path: str) -> None:
+    if "checksum" not in f.files:
+        return  # pre-CRC checkpoint; accept
+    stored = int(np.asarray(f["checksum"]))
+    arrays = {k: f[k] for k in f.files if k != "checksum"}
+    if int(_payload_crc(arrays)) != stored:
+        raise BlacklightError(
+            f"Checkpoint {path} failed CRC-32 integrity check.")
 
 
 def validate_checkpoint_options(cfg) -> None:
@@ -59,16 +82,17 @@ def trace_and_save_geodesics(path: str, positions, directions,
     dirname = os.path.dirname(path)
     if dirname:
         os.makedirs(dirname, exist_ok=True)
-    np.savez(path,
-             sample_pos=np.asarray(samples.pos),
-             sample_dir=np.asarray(samples.dir),
-             sample_len=np.asarray(samples.len),
-             sample_valid=np.asarray(samples.valid),
-             flags=np.asarray(flags),
-             n_samples=np.asarray(n_samples),
-             positions=np.asarray(positions),
-             directions=np.asarray(directions),
-             momentum_factors=np.asarray(momentum_factors))
+    arrays = dict(
+        sample_pos=np.asarray(samples.pos),
+        sample_dir=np.asarray(samples.dir),
+        sample_len=np.asarray(samples.len),
+        sample_valid=np.asarray(samples.valid),
+        flags=np.asarray(flags),
+        n_samples=np.asarray(n_samples),
+        positions=np.asarray(positions),
+        directions=np.asarray(directions),
+        momentum_factors=np.asarray(momentum_factors))
+    np.savez(path, checksum=_payload_crc(arrays), **arrays)
     return samples, flags, n_samples
 
 
@@ -80,6 +104,7 @@ def load_geodesics(path: str, dtype=jnp.float64):
     if not os.path.exists(path):
         raise BlacklightError(f"Could not open file {path} for reading.")
     with np.load(path) as f:
+        _verify_crc(f, path)
         samples = geodesic.Sample(
             pos=jnp.asarray(f["sample_pos"], dtype=dtype),
             dir=jnp.asarray(f["sample_dir"], dtype=dtype),
@@ -96,11 +121,13 @@ def save_samples(path: str, prims: dict) -> None:
     dirname = os.path.dirname(path)
     if dirname:
         os.makedirs(dirname, exist_ok=True)
-    np.savez(path, **{k: np.asarray(v) for k, v in prims.items()})
+    arrays = {k: np.asarray(v) for k, v in prims.items()}
+    np.savez(path, checksum=_payload_crc(arrays), **arrays)
 
 
 def load_samples(path: str) -> dict:
     if not os.path.exists(path):
         raise BlacklightError(f"Could not open file {path} for reading.")
     with np.load(path) as f:
-        return {k: jnp.asarray(f[k]) for k in f.files}
+        _verify_crc(f, path)
+        return {k: jnp.asarray(f[k]) for k in f.files if k != "checksum"}

@@ -22,6 +22,13 @@ def main(argv=None) -> int:
         from blacklight_tpu.utils.config import read_config
         cfg = read_config(argv[0])
 
+        # Host thread count for the native OpenMP IO kernels
+        # (blacklight.cpp:77 omp_set_num_threads); must be set before the
+        # shared library is first loaded.
+        if cfg.num_threads is not None:
+            import os
+            os.environ.setdefault("OMP_NUM_THREADS", str(cfg.num_threads))
+
         # Configure precision before any array work.
         import jax
         if (cfg.precision or "float64") == "float64":

@@ -166,7 +166,8 @@ def load_athenak(path: str, kappa_name=None, dtype=jnp.float64,
     prim = np.ascontiguousarray(
         cell_data[:, [file_ind[k] for k in order]].transpose(1, 0, 2, 3, 4))
     ind = {name: slot for slot, name in enumerate(order)}
-    prim[ind["pgas"]] *= np.float32(gamma - 1.0)
+    from blacklight_tpu import native
+    native.scale_slice(prim, ind["pgas"], gamma - 1.0)
 
     return SimulationGrid(
         prim=jnp.asarray(prim),

@@ -85,7 +85,7 @@ def load_harm3d(path: str, cfg, dtype=jnp.float64) -> SimulationGrid:
            "b0": 6, "bb1": 7, "bb2": 8, "bb3": 9}
     if has_kappa:
         ind["kappa"] = 10
-    prim[ind["pgas"]] *= np.float32(gamma - 1.0)
+    native.scale_slice(prim, ind["pgas"], gamma - 1.0)
 
     def faces_centers(start, d, n):
         xf = start + d * np.arange(n + 1, dtype=np.float64)

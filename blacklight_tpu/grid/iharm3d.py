@@ -124,7 +124,7 @@ def load_iharm3d(path: str, cfg, dtype=jnp.float64) -> SimulationGrid:
 
     from blacklight_tpu import native
     prim = native.repack_table(prims, 0, prims.shape[-1])[:, None]
-    prim[ind["pgas"]] *= np.float32(gamma - 1.0)
+    native.scale_slice(prim, ind["pgas"], gamma - 1.0)
 
     warn = blacklight_warning
     sks_map = None
@@ -139,8 +139,12 @@ def load_iharm3d(path: str, cfg, dtype=jnp.float64) -> SimulationGrid:
         map_r_in, map_dr, map_dtheta = r_in_map, dr, dtheta
         r_lo, th_lo = mks.fmks_sks_coords(x1f[0], 0.0, fmks_params)
         r_hi, th_hi = mks.fmks_sks_coords(x1f[-1], 1.0, fmks_params)
+        # phi bounds are literal [0, 2*pi]: the reference always passes 0
+        # and 2*pi to GetSKSCoordinates (simulation_geometry.cpp:47-58),
+        # independent of the file's raw phi faces (which snap_angular_domain
+        # may later adjust).
         bounds = (float(r_lo), float(r_hi), float(th_lo), float(th_hi),
-                  float(x3f[0]), float(x3f[-1]))
+                  0.0, 2.0 * np.pi)
         r_v, th_v = mks.fmks_sks_coords(
             x1v[None, None, :], x2v[None, :, None], fmks_params)
         mks.convert_primitives_3(prim, ind, x1v, x2v, x3v, r_v, th_v, spin,

@@ -333,9 +333,13 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
     # With fallback_nan the reference stores NaN; here values stay FINITE
     # (a NaN primal would poison reverse-mode through every later product)
     # and "nan_mask" tells consumers which samples to NaN-poison in outputs.
-    fb = {"rho": opts.fallback_rho or 1e-30,
-          "pgas": opts.fallback_pgas or 1e-30,
-          "kappa": opts.fallback_kappa or 1e-30,
+    # User fallback values are used VERBATIM (the reference does so,
+    # simulation_sampling.cpp:695-707, and 0.0 is legal input); divisions
+    # by rho/pgas downstream clamp at the point of use instead
+    # (models/synchrotron.py fluid_state).
+    fb = {"rho": opts.fallback_rho,
+          "pgas": opts.fallback_pgas,
+          "kappa": opts.fallback_kappa,
           "uu1": 0.0, "uu2": 0.0, "uu3": 0.0,
           "bb1": 0.0, "bb2": 0.0, "bb3": 0.0}
     for name in names:

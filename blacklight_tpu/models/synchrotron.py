@@ -3,9 +3,9 @@
 Batched re-derivation of the reference coefficient engine
 (src/radiation_integrator/simulation_coefficients.cpp:51-722), following
 2021 ApJ 921 17 (M). This module covers the thermal population (emissivity
-M 28,30; Kirchhoff absorptivity M 31; Faraday rotativities M 33-37); the
-power-law and kappa populations are in powerlaw.py / kappa_dist.py and add
-into the same outputs.
+M 28,30; Kirchhoff absorptivity M 31; Faraday rotativities M 33-37) plus
+the power-law and kappa populations (further down in this same module),
+which add into the same outputs.
 
 Scalarized geometry throughout: the fluid 4-velocity/field construction uses
 the sparse SKS metric (ops/sks.py) and the pitch angle falls out of
@@ -140,14 +140,18 @@ def fluid_state(pos, samples, spin, plasma: PlasmaParams, rho_unit: float,
         bcov_t, bcov_r, bcov_th, bcov_ph = sks.lower_sks(m, bt, br, bth, bph)
         b_sq = bcov_t * bt + bcov_r * br + bcov_th * bth + bcov_ph * bph
     bb_cgs = jnp.sqrt(jnp.maximum(b_sq, 0.0)) * b_unit
-    sigma = b_sq / rho
-    beta_inv = b_sq / (2.0 * pgas)
+    # Clamp divisors at point of use: rho/pgas may be an exact-zero user
+    # fallback (legal input); a 0/0 NaN primal here would poison
+    # reverse-mode through later products even when masked forward.
+    sigma = b_sq / jnp.maximum(rho, 1e-30)
+    beta_inv = b_sq / jnp.maximum(2.0 * pgas, 1e-30)
 
     # Electron temperature (simulation_coefficients.cpp:330-358)
     if plasma.model == PlasmaModel.ti_te_beta:
         tti_tte = (plasma.rat_high + plasma.rat_low * beta_inv ** 2) \
             / (1.0 + beta_inv ** 2)
-        kb_tt_tot_cgs = plasma.mu * Physics.m_p * pgas_cgs / rho_cgs
+        kb_tt_tot_cgs = plasma.mu * Physics.m_p * pgas_cgs \
+            / jnp.maximum(rho_cgs, 1e-30)
         if plasma.use_p:
             kb_tt_e_cgs = (1.0 + plasma.ne_ni) / (tti_tte + plasma.ne_ni) \
                 * kb_tt_tot_cgs

@@ -53,7 +53,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         except OSError:
             return None
         lib.blio_crc32.restype = ctypes.c_uint32
-        lib.blio_crc32.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.blio_crc32.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint32]
         lib.blio_repack_table.restype = None
         lib.blio_repack_table.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -68,16 +69,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
 
 
-def crc32(data) -> int:
-    """CRC-32 of a bytes-like / array buffer (native, zlib fallback)."""
+def crc32(data, seed: int = 0) -> int:
+    """Running CRC-32 of a bytes-like / array buffer (native OpenMP
+    slicing-by-8, zlib fallback). `seed` is the CRC of preceding bytes,
+    enabling chaining across buffers."""
     buf = np.ascontiguousarray(np.frombuffer(
         data if isinstance(data, (bytes, bytearray, memoryview))
         else np.ascontiguousarray(data).tobytes(), dtype=np.uint8))
     lib = get_lib()
     if lib is not None:
-        return int(lib.blio_crc32(buf.ctypes.data, buf.size))
+        return int(lib.blio_crc32(buf.ctypes.data, buf.size,
+                                  ctypes.c_uint32(seed)))
     import zlib
-    return zlib.crc32(buf.tobytes()) & 0xFFFFFFFF
+    return zlib.crc32(buf.tobytes(), seed) & 0xFFFFFFFF
 
 
 def repack_table(table: np.ndarray, col0: int, nvar: int) -> np.ndarray:
@@ -93,6 +97,18 @@ def repack_table(table: np.ndarray, col0: int, nvar: int) -> np.ndarray:
     lib.blio_repack_table(table.ctypes.data, out.ctypes.data,
                           n1, n2, n3, ncol, col0, nvar)
     return out
+
+
+def scale_slice(prim: np.ndarray, var: int, factor: float) -> None:
+    """In-place prim[var] *= factor (eint -> pgas style unit fixups on the
+    freshly repacked (nvar, ...) table; simulation_reader.cpp:581-587)."""
+    lib = get_lib()
+    if (lib is None or prim.dtype != np.float32
+            or not prim.flags["C_CONTIGUOUS"]):
+        prim[var] *= prim.dtype.type(factor)
+        return
+    cells = int(prim.size // prim.shape[0])
+    lib.blio_scale_slice(prim.ctypes.data, var, cells, ctypes.c_float(factor))
 
 
 def f64_to_f32(arr: np.ndarray) -> np.ndarray:

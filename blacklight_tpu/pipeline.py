@@ -212,6 +212,8 @@ def run(cfg, snapshot: Optional[int] = None, quiet: bool = False) -> dict:
 
     validate_output_options(cfg)
     ckpt.validate_checkpoint_options(cfg)
+    from blacklight_tpu.utils.config import warn_ignored_options
+    warn_ignored_options(cfg)
     model = cfg.require("model_type")
 
     # Optional on-device profiling (SURVEY 5.1: the reference has wall-clock

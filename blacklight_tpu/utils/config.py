@@ -481,3 +481,38 @@ def read_config(path: str) -> Config:
     """Read and parse an input file from disk."""
     with open(path, "r") as f:
         return parse_config(f.read(), input_file=path)
+
+
+def warn_ignored_options(cfg: Config) -> None:
+    """Warn about options that are set but ignored for this run, mirroring
+    the reference's "Ignoring ... selection." warnings
+    (radiation_integrator.cpp:44-143, simulation_reader.cpp:92-147)."""
+    from blacklight_tpu.constants import (ModelType, PlasmaModel,
+                                          SimulationFormat)
+    from blacklight_tpu.utils.errors import blacklight_warning
+
+    simulation = cfg.model_type == ModelType.simulation
+    if not simulation:
+        if cfg.checkpoint_sample_save:
+            blacklight_warning("Ignoring checkpoint_sample_save selection.")
+        if cfg.checkpoint_sample_load:
+            blacklight_warning("Ignoring checkpoint_sample_load selection.")
+        for key in ("image_lambda_ave", "image_emission_ave", "image_tau_int"):
+            if getattr(cfg, key):
+                blacklight_warning(f"Ignoring {key} selection.")
+        if (cfg.render_num_images or 0) > 0:
+            blacklight_warning("Ignoring request for rendering.")
+    else:
+        block_capable = cfg.simulation_format in (SimulationFormat.athena,
+                                                  SimulationFormat.athenak)
+        if cfg.simulation_block_interp is not None and not (
+                block_capable and cfg.simulation_interp):
+            blacklight_warning("Ignoring simulation_block_interp selection.")
+        if cfg.plasma_model == PlasmaModel.ti_te_beta and cfg.plasma_use_p \
+                or cfg.plasma_model == PlasmaModel.code_kappa:
+            if cfg.plasma_gamma_i is not None:
+                blacklight_warning("Ignoring plasma_gamma_i selection.")
+            if cfg.plasma_gamma_e is not None:
+                blacklight_warning("Ignoring plasma_gamma_e selection.")
+    if cfg.image_polarization and not (simulation and cfg.image_light):
+        blacklight_warning("Ignoring image_polarization selection.")

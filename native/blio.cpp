@@ -118,7 +118,9 @@ static uint32_t crc32_combine(uint32_t crc1, uint32_t crc2, uint64_t len2)
   return crc1 ^ crc2;
 }
 
-uint32_t blio_crc32(const uint8_t *buf, uint64_t len)
+// Running CRC-32: `seed` is the CRC of all preceding bytes (0 to start),
+// so callers can chain across multiple buffers (checkpoint payloads).
+uint32_t blio_crc32(const uint8_t *buf, uint64_t len, uint32_t seed)
 {
   crc_init();
 #if defined(_OPENMP)
@@ -135,7 +137,7 @@ uint32_t blio_crc32(const uint8_t *buf, uint64_t len)
     {
       uint64_t begin = static_cast<uint64_t>(i) * chunk;
       uint64_t end = (i == num_chunks - 1) ? len : begin + chunk;
-      crcs[i] = crc32_chunk(0, buf + begin, end - begin);
+      crcs[i] = crc32_chunk(i == 0 ? seed : 0, buf + begin, end - begin);
       lens[i] = end - begin;
     }
     uint32_t crc = crcs[0];
@@ -144,7 +146,7 @@ uint32_t blio_crc32(const uint8_t *buf, uint64_t len)
     return crc;
   }
 #endif
-  return crc32_chunk(0, buf, len);
+  return crc32_chunk(seed, buf, len);
 }
 
 // ---------------------------------------------------------------------------
