@@ -53,10 +53,46 @@ class SimulationGrid:
     # Slow light: when set, prim has a leading time axis (T, nvar, ...) and
     # times holds the (decreasing) slice times (simulation_reader.cpp:211-303)
     times: Optional[jnp.ndarray] = None
+    # Cell-major copy (n_b*n_k*n_j*n_i, nvar_padded) float32 for the fast
+    # sampler: one gather fetches ALL variables of a cell pair contiguously
+    # (see grid/sampling.py corner gathers). Built by with_cell_major().
+    prim_cells: Optional[jnp.ndarray] = None
+    # AMR metadata (host numpy; Athena++/AthenaK only): per-block refinement
+    # level, (i, j, k) logical location at that level, and the root phi
+    # grid size (simulation_reader.cpp:697-712).
+    levels: Optional[np.ndarray] = None
+    locations: Optional[np.ndarray] = None
+    n3_root: int = 0
+    # Device AMR neighbor table for exact cross-level interblock sampling
+    # (grid/amr.py build_neighbor_table): (n_b, 27, 8, 5) int32 + per-block
+    # per-axis location parities (n_b, 3). Built by grid/amr.with_amr_table.
+    amr_table: Optional[jnp.ndarray] = None
+    loc_parity: Optional[jnp.ndarray] = None
 
     @property
     def n_blocks(self):
         return self.prim.shape[1]
+
+
+def with_cell_major(grid: SimulationGrid) -> SimulationGrid:
+    """Attach the cell-major primitive table used by the fast sampler.
+
+    The var-major (nvar, n_b, n_k, n_j, n_i) layout makes each of the 8
+    trilinear corner gathers touch nvar strided 4-byte elements per sample
+    (one HBM transaction each at ~32x granularity waste). Cell-major rows
+    put a cell's variables contiguously, and i-adjacent cells in adjacent
+    rows, so a single gather of a (2, nvar) slice fetches a corner PAIR in
+    one transaction. Costs one extra copy of the snapshot in HBM; skipped
+    for slow-light windows (time axis handled by the legacy path).
+    """
+    if grid.times is not None or grid.prim_cells is not None:
+        return grid
+    nvar = grid.prim.shape[0]
+    nvarp = 8 if nvar <= 8 else 16
+    cells = jnp.moveaxis(grid.prim, 0, -1).reshape(-1, nvar)
+    if nvarp != nvar:
+        cells = jnp.pad(cells, ((0, 0), (0, nvarp - nvar)))
+    return dataclasses.replace(grid, prim_cells=cells)
 
 
 def load_athdf(path: str, kappa_name: Optional[str] = None,
@@ -94,9 +130,21 @@ def load_athdf(path: str, kappa_name: Optional[str] = None,
         x3f = np.asarray(f["x3f"], dtype=np.float64)
         x3v = np.asarray(f["x3v"], dtype=np.float64)
 
+        # AMR metadata (simulation_reader.cpp:697-712): per-block refinement
+        # levels and logical locations, plus the phi root-grid size that
+        # sets n_3_level for periodic neighbor lookups
+        # (simulation_sampling.cpp:85-93).
+        levels = np.asarray(f["Levels"], dtype=np.int32) \
+            if "Levels" in f else None
+        locations = np.asarray(f["LogicalLocations"], dtype=np.int64) \
+            if "LogicalLocations" in f else None
+        n3_root = int(f.attrs["RootGridSize"][2]) \
+            if "RootGridSize" in f.attrs else 0
+
     return SimulationGrid(
         prim=jnp.asarray(prim),
         x1f=jnp.asarray(x1f, dtype=dtype), x1v=jnp.asarray(x1v, dtype=dtype),
         x2f=jnp.asarray(x2f, dtype=dtype), x2v=jnp.asarray(x2v, dtype=dtype),
         x3f=jnp.asarray(x3f, dtype=dtype), x3v=jnp.asarray(x3v, dtype=dtype),
-        ind=ind, time=time)
+        ind=ind, time=time, levels=levels, locations=locations,
+        n3_root=n3_root)

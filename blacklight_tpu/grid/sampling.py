@@ -213,10 +213,189 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
 
     use_block_interp = (opts.interp and opts.block_interp and n_b > 1
                         and grid.sks_map is None and not slow)
-    if use_block_interp:
-        # Cross-block trilinear interpolation: where the in-block fraction
-        # leaves [0, 1] (sample in the outer half of an edge cell), the
-        # missing bracket point lies in a neighbor block. Its position is
+    use_cell_major = (grid.prim_cells is not None and not slow
+                      and not use_block_interp)
+    if use_cell_major:
+        # Fast path: cell-major pair gathers (see athena.with_cell_major).
+        # Each (dk, dj) corner pair is ONE gather of a (2, nvarp) contiguous
+        # slice - i-adjacent cells are adjacent rows - so the 8 corners cost
+        # 4 coalesced gathers instead of 8 strided ones.
+        cells_tab = grid.prim_cells
+        nvarp = cells_tab.shape[-1]
+
+        def row_base(kk, jj, ii):
+            return ((b * n_k + kk) * n_j + jj) * n_i + ii
+
+        def gather_pair(start_rows):
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(cells_tab, (s, 0),
+                                                (2, nvarp)))(start_rows)
+
+        if opts.interp:
+            pair_mm = gather_pair(row_base(k_m, j_m, i_m))
+            pair_mp = gather_pair(row_base(k_m, j_m + 1, i_m))
+            pair_pm = gather_pair(row_base(k_m + 1, j_m, i_m))
+            pair_pp = gather_pair(row_base(k_m + 1, j_m + 1, i_m))
+            # Same 8-term weighting order as the reference
+            # (InterpolateSimple, simulation_sampling.cpp:1334-1351)
+            vals_bn = ((1 - f_k)[:, None] * (1 - f_j)[:, None]
+                       * (1 - f_i)[:, None] * pair_mm[:, 0]
+                       + (1 - f_k)[:, None] * (1 - f_j)[:, None]
+                       * f_i[:, None] * pair_mm[:, 1]
+                       + (1 - f_k)[:, None] * f_j[:, None]
+                       * (1 - f_i)[:, None] * pair_mp[:, 0]
+                       + (1 - f_k)[:, None] * f_j[:, None]
+                       * f_i[:, None] * pair_mp[:, 1]
+                       + f_k[:, None] * (1 - f_j)[:, None]
+                       * (1 - f_i)[:, None] * pair_pm[:, 0]
+                       + f_k[:, None] * (1 - f_j)[:, None]
+                       * f_i[:, None] * pair_pm[:, 1]
+                       + f_k[:, None] * f_j[:, None]
+                       * (1 - f_i)[:, None] * pair_pp[:, 0]
+                       + f_k[:, None] * f_j[:, None]
+                       * f_i[:, None] * pair_pp[:, 1])
+            anchor_bn = pair_mm[:, 0]
+        else:
+            rows = row_base(k, j, i)
+            vals_bn = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(cells_tab, (s, 0),
+                                                (1, nvarp)))(rows)[:, 0]
+            anchor_bn = vals_bn
+        vals = vals_bn.T
+        anchor = anchor_bn.T
+    elif use_block_interp and grid.amr_table is not None:
+        # EXACT cross-block trilinear interpolation (the reference's
+        # interblock mode, simulation_sampling.cpp:505-552 + FindNearbyInds
+        # :1068-1321 + InterpolateAdvanced :1365-1386): corner indices are
+        # NOT clamped to the block; each out-of-block corner resolves to a
+        # neighbor block at the same/coarser/finer refinement level through
+        # the host-precomputed table (grid/amr.py), with phi periodicity
+        # and constant extrapolation at the grid edge.
+        rows1v, rows2v, rows3v = grid.x1v[b], grid.x2v[b], grid.x3v[b]
+
+        def take(a, idx):
+            return jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+
+        xv_i = take(rows1v, i)
+        xv_j = take(rows2v, j)
+        xv_k = take(rows3v, k)
+        # Unclamped anchors (":505-510"): i_m in [-1, n-1]
+        i_mr = jnp.where(r >= xv_i, i, i - 1)
+        j_mr = jnp.where(th >= xv_j, j, j - 1)
+        k_mr = jnp.where(ph >= xv_k, k, k - 1)
+
+        def ghost_fracs(rows_v, xv_all, xf_all, base, s, n):
+            # Bracket positions with ghost mirrors (":516-521"). The upper
+            # ghost reproduces the reference's literal x?v(b, n) read: the
+            # flattened array's next element (= the next block's first
+            # center; the reference's Array is contiguous so its
+            # out-of-row-bounds read lands there), clamped at the very end.
+            xv0 = xv_all[:, 0][b]
+            xf0 = xf_all[:, 0][b]
+            xv_last = xv_all[:, -1][b]
+            xf_last = xf_all[:, -1][b]
+            lo = jnp.where(base == -1, 2.0 * xf0 - xv0,
+                           take(rows_v, jnp.clip(base, 0, n - 1)))
+            # The reference's x?v(b, n) lands on the NEXT block's first
+            # center in its contiguous Array; for the final block (where
+            # that read is past the allocation) use the mirror through the
+            # upper face instead.
+            flat_v = xv_all.reshape(-1)
+            last_block = b == (flat_v.shape[0] // n) - 1
+            nxt = jnp.where(
+                last_block, 2.0 * xf_last - xv_last,
+                flat_v[jnp.minimum(b * n + n, flat_v.shape[0] - 1)])
+            hi = jnp.where(base + 1 == n, 2.0 * nxt - xv_last,
+                           take(rows_v, jnp.clip(base + 1, 0, n - 1)))
+            return (s - lo) / (hi - lo)
+
+        f_i = ghost_fracs(rows1v, grid.x1v, grid.x1f, i_mr, r, n_i)
+        f_j = ghost_fracs(rows2v, grid.x2v, grid.x2f, j_mr, th, n_j)
+        f_k = ghost_fracs(rows3v, grid.x3v, grid.x3f, k_mr, ph, n_k)
+
+        table_flat = grid.amr_table.reshape(-1, grid.amr_table.shape[-1])
+        parity = grid.loc_parity[b]                       # (B, 3)
+        cells_tab = grid.prim_cells
+        nvarp = None if cells_tab is None else cells_tab.shape[-1]
+
+        def corner_amr(dk, dj, di):
+            cki = i_mr + di
+            ckj = j_mr + dj
+            ckk = k_mr + dk
+            s_i = jnp.where(cki == -1, -1, jnp.where(cki == n_i, 1, 0))
+            s_j = jnp.where(ckj == -1, -1, jnp.where(ckj == n_j, 1, 0))
+            s_k = jnp.where(ckk == -1, -1, jnp.where(ckk == n_k, 1, 0))
+            u_i = (cki > n_i // 2).astype(jnp.int32)
+            u_j = (ckj > n_j // 2).astype(jnp.int32)
+            u_k = (ckk > n_k // 2).astype(jnp.int32)
+            dir_idx = (s_k + 1) * 9 + (s_j + 1) * 3 + (s_i + 1)
+            half = u_k * 4 + u_j * 2 + u_i
+            entry = table_flat[(b * 27 + dir_idx) * 8 + half]  # (B, 5)
+            b_alt = entry[:, 0]
+            case = entry[:, 1]
+            eff = entry[:, 2:5]
+
+            def axis_idx(ax, ck, u, n, c_idx, x, xv_c):
+                e = eff[:, ax]
+                par = parity[:, ax]
+                # A crossed axis whose direction had no grid was clamped
+                # onto the home block (":1224-1229"): the reference
+                # reassigns the corner index to its safe value before the
+                # cell-index formulas, so eff == 0 must use the CLAMPED
+                # index (identity for genuinely in-range corners). The
+                # upper flags stay raw-index-based (computed at entry).
+                cs = jnp.clip(ck, 0, n - 1)
+                same = jnp.where(e == 0, cs,
+                                 jnp.where(e == -1, n - 1, 0))
+                coarse = jnp.where(e == 0, (par * n + cs) >> 1,
+                                   jnp.where(e == -1, n - 1, 0))
+                fine = jnp.where(e == 0,
+                                 jnp.where(u == 1, (cs - n // 2) * 2,
+                                           cs * 2),
+                                 jnp.where(e == -1, n - 2, 0))
+                # ":1310-1312": nudge the fine cell toward the sample. A
+                # crossed-but-existing axis compares its RAW index (-1 / n);
+                # only the clamped case compares the safe one.
+                ca = jnp.where(e == 0, cs, ck)
+                adj = ((ca < c_idx)
+                       | ((ca == c_idx) & (x > xv_c))).astype(jnp.int32)
+                fine = fine + adj
+                return jnp.where(case == 0, same,
+                                 jnp.where(case == 1, coarse, fine))
+
+            ii = axis_idx(0, cki, u_i, n_i, i, r, xv_i)
+            jj = axis_idx(1, ckj, u_j, n_j, j, th, xv_j)
+            kk = axis_idx(2, ckk, u_k, n_k, k, ph, xv_k)
+            flat = ((b_alt * n_k + kk) * n_j + jj) * n_i + ii
+            if cells_tab is not None:
+                return jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(
+                        cells_tab, (s, 0), (1, nvarp)))(flat)[:, 0].T
+            return prim_flat[:, flat]
+
+        c_mmm = corner_amr(0, 0, 0)
+        c_mmp = corner_amr(0, 0, 1)
+        c_mpm = corner_amr(0, 1, 0)
+        c_mpp = corner_amr(0, 1, 1)
+        c_pmm = corner_amr(1, 0, 0)
+        c_pmp = corner_amr(1, 0, 1)
+        c_ppm = corner_amr(1, 1, 0)
+        c_ppp = corner_amr(1, 1, 1)
+        vals = ((1 - f_k) * (1 - f_j) * (1 - f_i) * c_mmm
+                + (1 - f_k) * (1 - f_j) * f_i * c_mmp
+                + (1 - f_k) * f_j * (1 - f_i) * c_mpm
+                + (1 - f_k) * f_j * f_i * c_mpp
+                + f_k * (1 - f_j) * (1 - f_i) * c_pmm
+                + f_k * (1 - f_j) * f_i * c_pmp
+                + f_k * f_j * (1 - f_i) * c_ppm
+                + f_k * f_j * f_i * c_ppp)
+        anchor = c_mmm
+    elif use_block_interp:
+        # Approximate cross-block trilinear interpolation (fallback when no
+        # AMR metadata is available to build the exact neighbor table):
+        # where the in-block fraction leaves [0, 1] (sample in the outer
+        # half of an edge cell), the missing bracket point lies in a
+        # neighbor block. Its position is
         # taken as the mirror of the edge cell center through the block
         # face (exact for equal-size neighbors, the common AMR case), the
         # containing block is found by a global containment search with

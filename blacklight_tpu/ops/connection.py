@@ -45,3 +45,67 @@ def connection_cks(x, spin, mass=1.0, flat=False):
     term = (jnp.einsum("...adb->...dab", dg) + jnp.einsum("...bda->...dab", dg)
             - dg)
     return 0.5 * jnp.einsum("...md,...dab->...mab", g_con, term)
+
+
+def transport_matrix_c(x1, x2, x3, k0, k1, k2, k3, spin, mass=1.0,
+                       flat=False, derivs=None):
+    """Scalarized parallel-transport matrix A^m_b = k^a Gamma^m_{ab}.
+
+    The contraction the polarized transport needs
+    (polarized.cpp:174-192: dN^{mn} = -(A^m_b N^{bn} + A^n_b N^{mb}))
+    never requires the full (..., 4, 4, 4) Christoffel tensor: with the
+    rank-1 Kerr-Schild structure g_{mn} = eta_{mn} + f l_m l_n every term
+    of k^a Gamma^m_{ab} collapses to products of the scalars
+    (f, l_i, df_i, dl_i/dx_j) from :func:`geometry.ks_derivatives_c`.
+    Derivation: with D_db = k^a d_a g_db, C_db = k^a d_b g_da,
+    E_db = k^a d_d g_ab and T_db = D + C - E, one has
+    A^m_b = 1/2 g^{md} T_db = 1/2 (eta^{mm} T_mb - f l^m U_b) where
+    U_b = -T_0b + l_i T_ib.
+
+    Args:
+      x1, x2, x3: (...,) CKS spatial coordinates.
+      k0..k3: (...,) CONTRAVARIANT vector k^a to transport along.
+      derivs: optional precomputed ks_derivatives_c output at (x1,x2,x3)
+        to share between calls at the same position.
+
+    Returns a 4x4 nested list of (...,) arrays A[m][b].
+    """
+    if flat:
+        zero = jnp.zeros_like(k0)
+        return [[zero] * 4 for _ in range(4)]
+    if derivs is None:
+        derivs = geometry.ks_derivatives_c(x1, x2, x3, spin, mass)
+    _, f, (l1, l2, l3), (df1, df2, df3), (dl1, dl2, dl3) = derivs
+
+    zero = jnp.zeros_like(k0)
+    one = jnp.ones_like(k0)
+    l_cov = (one, l1, l2, l3)            # covariant l_m (l_0 = 1)
+    lk = k0 + l1 * k1 + l2 * k2 + l3 * k3          # l_a k^a
+    kdf = k1 * df1 + k2 * df2 + k3 * df3           # k^a d_a f
+    # kdl_d = k^a d_a l_d ; s_b = k^a d_b l_a ; both zero in the t slot
+    kdl = (zero,
+           k1 * dl1[0] + k2 * dl1[1] + k3 * dl1[2],
+           k1 * dl2[0] + k2 * dl2[1] + k3 * dl2[2],
+           k1 * dl3[0] + k2 * dl3[1] + k3 * dl3[2])
+    s = (zero,
+         dl1[0] * k1 + dl2[0] * k2 + dl3[0] * k3,
+         dl1[1] * k1 + dl2[1] * k2 + dl3[1] * k3,
+         dl1[2] * k1 + dl2[2] * k2 + dl3[2] * k3)
+    df = (zero, df1, df2, df3)
+    # P[b][d] = d_b l_d (b = direction, d = component); t row/col zero
+    P = ((zero, zero, zero, zero),
+         (zero, dl1[0], dl2[0], dl3[0]),
+         (zero, dl1[1], dl2[1], dl3[1]),
+         (zero, dl1[2], dl2[2], dl3[2]))
+
+    T = [[kdf * l_cov[d] * l_cov[b]
+          + f * (kdl[d] * l_cov[b] + l_cov[d] * kdl[b])
+          + df[b] * l_cov[d] * lk + f * lk * P[b][d] + f * l_cov[d] * s[b]
+          - df[d] * lk * l_cov[b] - f * s[d] * l_cov[b] - f * lk * P[d][b]
+          for b in range(4)] for d in range(4)]
+    U = [-T[0][b] + l1 * T[1][b] + l2 * T[2][b] + l3 * T[3][b]
+         for b in range(4)]
+    A = [[0.5 * (-T[0][b] + f * U[b]) for b in range(4)]]
+    for i, li in ((1, l1), (2, l2), (3, l3)):
+        A.append([0.5 * (T[i][b] - f * li * U[b]) for b in range(4)])
+    return A

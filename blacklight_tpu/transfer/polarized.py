@@ -30,9 +30,109 @@ from blacklight_tpu.constants import NUM_CELL_VALUES, Physics, RayIntegrator
 from blacklight_tpu.ops import connection as connection_mod
 from blacklight_tpu.ops import geodesic, geometry
 from blacklight_tpu.ops.tetrad import tetrad_cks
-from blacklight_tpu.transfer.polarized_coupling import couple_matter
+from blacklight_tpu.transfer.polarized_coupling import couple_matter_c
 from blacklight_tpu.transfer.unpolarized import DELTA_TAU_MAX, ImageOptions
 from blacklight_tpu.utils.errors import BlacklightError
+
+# Hermitian coherency-tensor component bookkeeping: N^{mn} with real
+# rotation/absorption operators stays Hermitian throughout (transport
+# dN = -(A N + N A^T) with real A, tetrad congruences, and the 2x2
+# Stokes reconstruction all preserve it), so only 10 real-symmetric and
+# 6 imaginary-antisymmetric components are carried - as individual flat
+# (B*F,) arrays so every update is a full-width VPU op instead of math on
+# (B, F, 4, 4) tiles whose trailing 4x4 wastes 63/64 of each (8, 128) tile.
+_SYM = ((0, 0), (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3), (2, 2),
+        (2, 3), (3, 3))
+_ANT = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+_SYM_POS = {}
+for _i, (_m, _n) in enumerate(_SYM):
+    _SYM_POS[(_m, _n)] = _i
+    _SYM_POS[(_n, _m)] = _i
+_ANT_POS = {mn: i for i, mn in enumerate(_ANT)}
+
+
+def _re_at(re, m, n):
+    return re[_SYM_POS[(m, n)]]
+
+
+def _im_at(im, m, n):
+    """Im N^{mn} with antisymmetry folded in; None when structurally 0."""
+    if m == n:
+        return None
+    if m < n:
+        return im[_ANT_POS[(m, n)]]
+    return -im[_ANT_POS[(n, m)]]
+
+
+def _transport_c(a_mat, re, im, base_re, base_im, dl):
+    """Half-step parallel transport on coherency components
+    (polarized.cpp:174-192): new = base - dl (A^m_b N^{bn} + A^n_b N^{mb}),
+    expanded per stored component with Hermitian symmetry."""
+    new_re = []
+    for i, (m, n) in enumerate(_SYM):
+        d = None
+        for bb in range(4):
+            t = a_mat[m][bb] * _re_at(re, bb, n) \
+                + a_mat[n][bb] * _re_at(re, m, bb)
+            d = t if d is None else d + t
+        new_re.append(base_re[i] - dl * d)
+    new_im = []
+    for i, (m, n) in enumerate(_ANT):
+        d = None
+        for bb in range(4):
+            v = _im_at(im, bb, n)
+            if v is not None:
+                t = a_mat[m][bb] * v
+                d = t if d is None else d + t
+            v = _im_at(im, m, bb)
+            if v is not None:
+                t = a_mat[n][bb] * v
+                d = t if d is None else d + t
+        new_im.append(base_im[i] - dl * d)
+    return tuple(new_re), tuple(new_im)
+
+
+def _stokes_from_n(e1, e2, re, im):
+    """Tetrad-frame Stokes (I, Q, U, V) from coherency components
+    (polarized.cpp:264-292 + I 14): only the (1,2)x(1,2) block of the
+    tetrad-projected N feeds the Stokes vector. e1/e2 are the COVARIANT
+    tetrad rows as 4-lists of flat arrays."""
+    nt00 = None
+    nt11 = None
+    nt01 = None
+    for m in range(4):
+        t00 = e1[m] * e1[m] * _re_at(re, m, m)
+        t11 = e2[m] * e2[m] * _re_at(re, m, m)
+        t01 = e1[m] * e2[m] * _re_at(re, m, m)
+        nt00 = t00 if nt00 is None else nt00 + t00
+        nt11 = t11 if nt11 is None else nt11 + t11
+        nt01 = t01 if nt01 is None else nt01 + t01
+    for i, (m, n) in enumerate(_ANT):
+        r = re[_SYM_POS[(m, n)]]
+        nt00 = nt00 + 2.0 * e1[m] * e1[n] * r
+        nt11 = nt11 + 2.0 * e2[m] * e2[n] * r
+        nt01 = nt01 + (e1[m] * e2[n] + e1[n] * e2[m]) * r
+    s_v = None
+    for i, (m, n) in enumerate(_ANT):
+        t = (e2[m] * e1[n] - e2[n] * e1[m]) * im[i]
+        s_v = t if s_v is None else s_v + t
+    return (0.5 * (nt00 + nt11), 0.5 * (nt00 - nt11), nt01, s_v)
+
+
+def _n_from_stokes(t1, t2, s_i, s_q, s_u, s_v):
+    """Coherency components from tetrad-frame Stokes (I 13 +
+    polarized.cpp:793-813): N_tet is nonzero only in the transverse 2x2
+    block, so N^{mn} = t1^m t1^n (I+Q) + (t1^m t2^n + t2^m t1^n) U
+    + t2^m t2^n (I-Q) - i V (t1^m t2^n - t2^m t1^n). t1/t2 are the
+    CONTRAVARIANT tetrad rows as 4-lists of flat arrays."""
+    ipq = s_i + s_q
+    imq = s_i - s_q
+    re = tuple(
+        t1[m] * t1[n] * ipq + (t1[m] * t2[n] + t2[m] * t1[n]) * s_u
+        + t2[m] * t2[n] * imq
+        for (m, n) in _SYM)
+    im = tuple(s_v * (t2[m] * t1[n] - t1[m] * t2[n]) for (m, n) in _ANT)
+    return re, im
 
 
 def _kcon_scalar(pos, kcov, spin, mass, flat):
@@ -108,17 +208,27 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         [samples.valid[1:], jnp.zeros_like(samples.valid[-1:])], axis=0)
 
     spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
+    bf = b * f
+
+    def _ex(x):
+        """Expand a per-ray (B,) array to the flat (B*F,) layout (row-major
+        over (ray, frequency), matching (B, F).reshape(-1))."""
+        if f == 1:
+            return x
+        return jnp.repeat(x, f, total_repeat_length=bf)
 
     # The coherency tensor N is Hermitian and all rotation coefficients
-    # (connection contractions, tetrads) are REAL, so N is carried as
-    # explicit (re, im) real parts: complex einsums against a real-valued
-    # operand cast to complex do twice the arithmetic (the zero imaginary
-    # part is multiplied through), and TPUs have no native complex type.
+    # (connection contractions, tetrads) are REAL, so N is carried as 10
+    # symmetric-real + 6 antisymmetric-imaginary components, each a flat
+    # (B*F,) array (see _SYM/_ANT above): TPUs have no native complex
+    # type, and (B, F, 4, 4) tiles waste 63/64 of each (8, 128) tile.
+    zeros_bf = tuple(jnp.zeros(bf, dtype) for _ in range(10))
+    zeros_bf6 = tuple(jnp.zeros(bf, dtype) for _ in range(6))
     state = {
-        "nn_re": jnp.zeros((b, f, 4, 4), dtype),
-        "nn_im": jnp.zeros((b, f, 4, 4), dtype),
-        "nn_temp_re": jnp.zeros((b, f, 4, 4), dtype),
-        "nn_temp_im": jnp.zeros((b, f, 4, 4), dtype),
+        "nn_re": zeros_bf,
+        "nn_im": zeros_bf6,
+        "nn_temp_re": zeros_bf,
+        "nn_temp_im": zeros_bf6,
         "coeff_bad": jnp.zeros((b, f), dtype=bool),
     }
     if opts.time:
@@ -153,39 +263,51 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         active = valid
         started = valid_pv
         first = active & ~started
-        av = active.astype(dtype)
 
         dl_cgs = dl_cur[:, None] * x_unit / (frequencies[None, :]
                                              * momentum_factors[:, None])
 
-        conn = connection_mod.connection_cks(pos[:, 1:4], spin, mass, flat=flat)
-        conn_prev = connection_mod.connection_cks(pos_pv[:, 1:4], spin, mass,
-                                                  flat=flat)
-        conn_old = jnp.where(first[:, None, None, None], conn,
-                             0.5 * (conn_prev + conn))
+        # Transport matrices A^m_b = k^a Gamma^m_{ab} in closed scalar form
+        # (ops/connection.transport_matrix_c) - never materializing the
+        # (B, 4, 4, 4) Christoffel tensor. The averaged first-half matrix
+        # kcon_old . conn_old expands by bilinearity:
+        #   0.5 (A(prev, k_old) + A(cur, k_old))
+        #     = 0.5 A(prev, k_old) + 0.25 A(cur, k_prev) + 0.25 A(cur, k)
         kcon = _kcon_scalar(pos, kcov, spin, mass, flat)
         kcon_prev = _kcon_scalar(pos_pv, dir_pv, spin, mass, flat)
         kcon_old = jnp.where(first[:, None], kcon,
                              0.5 * (kcon_prev + kcon))
+        if flat:
+            derivs_cur = None
+        else:
+            derivs_cur = geometry.ks_derivatives_c(
+                pos[:, 1], pos[:, 2], pos[:, 3], spin, mass)
+        a_cur_k = connection_mod.transport_matrix_c(
+            pos[:, 1], pos[:, 2], pos[:, 3],
+            kcon[:, 0], kcon[:, 1], kcon[:, 2], kcon[:, 3],
+            spin, mass, flat=flat, derivs=derivs_cur)
+        a_cur_kprev = connection_mod.transport_matrix_c(
+            pos[:, 1], pos[:, 2], pos[:, 3],
+            kcon_prev[:, 0], kcon_prev[:, 1], kcon_prev[:, 2],
+            kcon_prev[:, 3], spin, mass, flat=flat, derivs=derivs_cur)
+        a_prev_kold = connection_mod.transport_matrix_c(
+            pos_pv[:, 1], pos_pv[:, 2], pos_pv[:, 3],
+            kcon_old[:, 0], kcon_old[:, 1], kcon_old[:, 2], kcon_old[:, 3],
+            spin, mass, flat=flat)
+        a_half = [[jnp.where(first, a_cur_k[m][bb],
+                             0.5 * a_prev_kold[m][bb]
+                             + 0.25 * a_cur_kprev[m][bb]
+                             + 0.25 * a_cur_k[m][bb])
+                   for bb in range(4)] for m in range(4)]
 
-        # First-half parallel transport (polarized.cpp:174-192):
-        # dN^{mn} = -(A^m_b N^{bn} + A^n_b N^{mb}) with real A = k.Gamma,
-        # applied to re/im parts independently
-        temp_a = jnp.einsum("Ba,Bmab->Bmb", kcon_old, conn_old)
-        dl_local = 0.5 * (jnp.where(first, 0.0, dl_pv) + dl_cur)
-
-        def transported(a_mat, base_re, base_im, n_re, n_im, dll):
-            d = dll[:, None, None, None]
-            out = []
-            for base, n in ((base_re, n_re), (base_im, n_im)):
-                dn = -(jnp.einsum("Bmb,BFbn->BFmn", a_mat, n)
-                       + jnp.einsum("Bnb,BFmb->BFmn", a_mat, n))
-                out.append(base + dn * d)
-            return out
-
-        nn_half_re, nn_half_im = transported(
-            temp_a, state["nn_temp_re"], state["nn_temp_im"],
-            state["nn_re"], state["nn_im"], dl_local)
+        # First-half parallel transport (polarized.cpp:174-192) on flat
+        # (B*F,) component arrays
+        a_half_bf = [[_ex(a_half[m][bb]) for bb in range(4)]
+                     for m in range(4)]
+        dl_local = _ex(0.5 * (jnp.where(first, 0.0, dl_pv) + dl_cur))
+        nn_half_re, nn_half_im = _transport_c(
+            a_half_bf, state["nn_re"], state["nn_im"],
+            state["nn_temp_re"], state["nn_temp_im"], dl_local)
 
         # Fluid state, coefficients, tetrad
         coeffs = coeff_fn(pos, kcov, **coeff_extra)
@@ -204,19 +326,15 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         upcon = jnp.where(b_zero[:, None], zhat, bcon)
         tet = tetrad_cks(ucon, ucov, kcon, kcov, upcon, g_cov, g_con)
 
-        # N -> tetrad covariant components (polarized.cpp:264-292). Only the
-        # (1,2)x(1,2) tetrad block feeds the Stokes vector, so contract just
-        # those two tetrad rows (2x4 instead of 4x4)
-        e_cov = jnp.einsum("Ban,Bnm->Bam", tet, g_cov)
-        e12 = e_cov[:, 1:3, :]
-        nt_re = jnp.einsum("Bam,Bbn,BFmn->BFab", e12, e12, nn_half_re)
-        nt_im = jnp.einsum("Bam,Bbn,BFmn->BFab", e12, e12, nn_half_im)
-        ss_start = jnp.stack([
-            0.5 * (nt_re[..., 0, 0] + nt_re[..., 1, 1]),
-            0.5 * (nt_re[..., 0, 0] - nt_re[..., 1, 1]),
-            0.5 * (nt_re[..., 0, 1] + nt_re[..., 1, 0]),
-            0.5 * (nt_im[..., 1, 0] - nt_im[..., 0, 1]),
-        ], axis=-1)
+        # N -> tetrad-frame Stokes (polarized.cpp:264-292): only the
+        # (1,2)x(1,2) tetrad block feeds the Stokes vector, so only the
+        # two covariant tetrad rows e1/e2 are formed (as flat scalars)
+        e1_cov = jnp.einsum("Bn,Bnm->Bm", tet[:, 1, :], g_cov)
+        e2_cov = jnp.einsum("Bn,Bnm->Bm", tet[:, 2, :], g_cov)
+        e1 = [_ex(e1_cov[:, m]) for m in range(4)]
+        e2 = [_ex(e2_cov[:, m]) for m in range(4)]
+        ss_i, ss_q, ss_u, ss_v = _stokes_from_n(e1, e2, nn_half_re,
+                                                nn_half_im)
 
         # Auxiliary image planes (same accumulations as unpolarized)
         if opts.time:
@@ -291,41 +409,49 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
             state["tau_int"] = jnp.where(cells_ok[:, :, None], new,
                                          state["tau_int"])
 
-        # Matter coupling in the tetrad frame
-        ss_end = couple_matter(ss_start, coeffs, dl_cgs, rotation_split)
+        # Matter coupling in the tetrad frame, per flat component
+        dl_flat = dl_cgs.reshape(bf)
+        ss_end = couple_matter_c(
+            ss_i, ss_q, ss_u, ss_v,
+            coeffs["j_i"].reshape(bf), coeffs["j_q"].reshape(bf),
+            coeffs["j_v"].reshape(bf),
+            coeffs["alpha_i"].reshape(bf), coeffs["alpha_q"].reshape(bf),
+            coeffs["alpha_v"].reshape(bf),
+            coeffs["rho_q"].reshape(bf), coeffs["rho_v"].reshape(bf),
+            dl_flat, rotation_split)
 
-        # Stokes -> N (I 13; polarized.cpp:793-800): the tetrad-frame N is
-        # nonzero only in the 2x2 transverse block
-        #   re = [[I+Q, U], [U, I-Q]],  im = [[0, -V], [V, 0]]
-        # so the return to coordinates (polarized.cpp:802-813) contracts a
-        # (B,2,4) tetrad slice against (B,F,2,2)
-        s_i, s_q = ss_end[..., 0], ss_end[..., 1]
-        s_u, s_v = ss_end[..., 2], ss_end[..., 3]
-        zero = jnp.zeros_like(s_i)
-        m_re = jnp.stack([jnp.stack([s_i + s_q, s_u], axis=-1),
-                          jnp.stack([s_u, s_i - s_q], axis=-1)], axis=-2)
-        m_im = jnp.stack([jnp.stack([zero, -s_v], axis=-1),
-                          jnp.stack([s_v, zero], axis=-1)], axis=-2)
-        t12 = tet[:, 1:3, :]
-        nn_post_re = jnp.einsum("Bam,Bbn,BFab->BFmn", t12, t12, m_re)
-        nn_post_im = jnp.einsum("Bam,Bbn,BFab->BFmn", t12, t12, m_im)
+        # Stokes -> N (I 13; polarized.cpp:793-813): the tetrad-frame N is
+        # nonzero only in the 2x2 transverse block, reconstructed from the
+        # two contravariant tetrad rows
+        t1 = [_ex(tet[:, 1, m]) for m in range(4)]
+        t2 = [_ex(tet[:, 2, m]) for m in range(4)]
+        nn_post_re, nn_post_im = _n_from_stokes(t1, t2, *ss_end)
 
         # Second-half transport (polarized.cpp:815-833)
-        temp_g = jnp.einsum("Ba,Bmab->Bmb", kcon, conn)
-        dl_local2 = 0.25 * (dl_cur + dl_nxt)
-        nn_new_re, nn_new_im = transported(
-            temp_g, nn_post_re, nn_post_im, nn_post_re, nn_post_im, dl_local2)
+        a_cur_bf = [[_ex(a_cur_k[m][bb]) for bb in range(4)]
+                    for m in range(4)]
+        dl_local2 = _ex(0.25 * (dl_cur + dl_nxt))
+        nn_new_re, nn_new_im = _transport_c(
+            a_cur_bf, nn_post_re, nn_post_im, nn_post_re, nn_post_im,
+            dl_local2)
 
-        act_c = active[:, None, None, None]
-        state["nn_re"] = jnp.where(act_c, nn_new_re, state["nn_re"])
-        state["nn_im"] = jnp.where(act_c, nn_new_im, state["nn_im"])
-        state["nn_temp_re"] = jnp.where(act_c, nn_post_re, state["nn_temp_re"])
-        state["nn_temp_im"] = jnp.where(act_c, nn_post_im, state["nn_temp_im"])
+        af = _ex(active)
+        state["nn_re"] = tuple(jnp.where(af, n, o) for n, o in
+                               zip(nn_new_re, state["nn_re"]))
+        state["nn_im"] = tuple(jnp.where(af, n, o) for n, o in
+                               zip(nn_new_im, state["nn_im"]))
+        state["nn_temp_re"] = tuple(jnp.where(af, n, o) for n, o in
+                                    zip(nn_post_re, state["nn_temp_re"]))
+        state["nn_temp_im"] = tuple(jnp.where(af, n, o) for n, o in
+                                    zip(nn_post_im, state["nn_temp_im"]))
         return state, None
 
     xs = (samples.pos, samples.dir, dl, dl_next, samples.valid, stored_prims,
           pos_prev, dir_prev, dl_prev, valid_prev)
-    state, _ = jax.lax.scan(body, state, xs, reverse=True)
+    # Rematerialize the body in reverse-mode (same policy as the geodesic
+    # scan, ops/geodesic.py): backward recomputes each step from its xs
+    # instead of storing every per-step intermediate for all S steps.
+    state, _ = jax.lax.scan(jax.checkpoint(body), state, xs, reverse=True)
 
     # Camera-frame Stokes extraction (polarized.cpp:846-949)
     g_cov, g_con = geometry.gcov_gcon(positions[:, 1:4], spin, mass, flat=flat)
@@ -341,16 +467,24 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     u_con_b = jnp.broadcast_to(camera_u_con, (b, 4))
     u_cov_b = jnp.broadcast_to(camera_u_cov, (b, 4))
     tet = tetrad_cks(u_con_b, u_cov_b, kcon, directions, up_con, g_cov, g_con)
-    e_cov = jnp.einsum("Ban,Bnm->Bam", tet, g_cov)
-    e12 = e_cov[:, 1:3, :]
-    nt_re = jnp.einsum("Bam,Bbn,BFmn->BFab", e12, e12, state["nn_re"])
-    nt_im = jnp.einsum("Bam,Bbn,BFmn->BFab", e12, e12, state["nn_im"])
+    e1_cov = jnp.einsum("Bn,Bnm->Bm", tet[:, 1, :], g_cov)
+    e2_cov = jnp.einsum("Bn,Bnm->Bm", tet[:, 2, :], g_cov)
+
+    def _exf(x):
+        if f == 1:
+            return x
+        return jnp.repeat(x, f, total_repeat_length=b * f)
+
+    e1 = [_exf(e1_cov[:, m]) for m in range(4)]
+    e2 = [_exf(e2_cov[:, m]) for m in range(4)]
+    ss_i, ss_q, ss_u, ss_v = _stokes_from_n(e1, e2, state["nn_re"],
+                                            state["nn_im"])
     scale = jnp.exp(jnp.asarray(log_j_scale, dtype)
                     + 3.0 * jnp.log(frequencies[None, :].astype(dtype)))
-    stokes_i = 0.5 * (nt_re[..., 0, 0] + nt_re[..., 1, 1]) * scale
-    stokes_q = 0.5 * (nt_re[..., 0, 0] - nt_re[..., 1, 1]) * scale
-    stokes_u = 0.5 * (nt_re[..., 0, 1] + nt_re[..., 1, 0]) * scale
-    stokes_v = 0.5 * (nt_im[..., 1, 0] - nt_im[..., 0, 1]) * scale
+    stokes_i = ss_i.reshape(b, f) * scale
+    stokes_q = ss_q.reshape(b, f) * scale
+    stokes_u = ss_u.reshape(b, f) * scale
+    stokes_v = ss_v.reshape(b, f) * scale
 
     nan = jnp.array(jnp.nan, dtype)
     poison = (flags & opts.fallback_nan)[:, None] | state["coeff_bad"]

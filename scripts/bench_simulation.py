@@ -1,0 +1,95 @@
+"""Simulation-path (thermal synchrotron) throughput benchmark.
+
+BASELINE.md protocol: mock GRMHD grid (default 128x64x64), rk4 geodesics,
+2000-step rays, unpolarized thermal RT, 1024^2 camera dispatched in
+128x128 tiles. Run on the TPU chip:
+
+    python scripts/bench_simulation.py [--res 1024] [--grid 128,64,64]
+"""
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--grid", default="128,64,64")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--precision", default="float32")
+    args = ap.parse_args()
+
+    n_r, n_th, n_ph = (int(s) for s in args.grid.split(","))
+    mock = f"/tmp/bench_mock_{n_r}x{n_th}x{n_ph}.athdf"
+    root = pathlib.Path(__file__).resolve().parents[1]
+    if not pathlib.Path(mock).exists():
+        subprocess.run(
+            [sys.executable, str(root / "scripts/generate_mock_simulation.py"),
+             mock, "--n_r", str(n_r), "--n_th", str(n_th),
+             "--n_ph", str(n_ph), "--r_min", "1.916", "--r_max", "52.2",
+             "--pert_amp", "0.1"], check=True)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.precision == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import numpy as np
+
+    from blacklight_tpu import read_config
+    from blacklight_tpu.pipeline_simulation import make_simulation_renderer
+
+    fixtures = root / "tests/fixtures"
+    cfg = read_config(str(fixtures / "golden_sim_rk4_32.input"))
+    cfg.simulation_file = mock
+    cfg.precision = args.precision
+    cfg.ray_max_steps = args.steps
+    cfg.camera_resolution = args.res
+
+    render_fn, geom, rays, frequencies, mass = make_simulation_renderer(cfg)
+    res, tile = args.res, args.tile
+    n = res * res
+    idx = np.arange(n).reshape(res, res)
+    order = idx.reshape(res // tile, tile, res // tile,
+                        tile).transpose(0, 2, 1, 3).reshape(-1)
+    P = np.asarray(rays.positions)[order]
+    D = np.asarray(rays.directions)[order]
+    M = np.asarray(rays.momentum_factors)[order]
+    chunk = tile * tile
+
+    def render_all():
+        outs = []
+        for i in range(0, n, chunk):
+            outs.append(render_fn(P[i:i + chunk], D[i:i + chunk],
+                                  M[i:i + chunk]))
+        return outs
+
+    t0 = time.perf_counter()
+    outs = render_all()
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = render_all()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    i_img = np.concatenate([np.asarray(o["I_nu"])[:, 0] for o in outs])
+    assert np.isfinite(np.nanmax(i_img)), "bad image"
+    print(json.dumps({
+        "res": res, "steps": args.steps, "grid": args.grid,
+        "precision": args.precision, "time_s": round(t, 2),
+        "compile_s": round(compile_s, 1),
+        "rays_per_s": round(n / t, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,28 +39,12 @@ DEFAULTS = dict(
 )
 
 
-def make_fields(p, thf=None, thv=None):
-    """Analytic torus on a log-r x theta x uniform-phi SKS grid.
+def eval_fields(p, r, th, ph):
+    """Analytic torus fields at arbitrary 1-D center arrays.
 
-    thf/thv optionally override the default uniform theta faces/centers
-    (e.g. with FMKS collocation points for exact cross-format tests).
-
-    Returns dict with grid arrays and (n_ph, n_th, n_r) cell fields:
-    rho, pgas, uur/uuth/uuph (SKS normal frame), bbr/bbth/bbph (SKS
-    cell-frame field).
+    Returns dict of (len(ph), len(th), len(r)) cell fields - the same
+    formulas as make_fields, usable per mesh block (AMR writer).
     """
-    lrf = np.linspace(np.log(p["r_min"]), np.log(p["r_max"]), p["n_r"] + 1)
-    rf = np.exp(lrf)
-    if thf is None:
-        thf = np.linspace(0.0, np.pi, p["n_th"] + 1)
-    phf = np.linspace(0.0, 2.0 * np.pi, p["n_ph"] + 1)
-    # Geometric-mean radial centers: iharm3d/harm3d readers reconstruct
-    # centers as midpoints in native x^1 = log r, so evaluating fields there
-    # makes every format represent the identical physical snapshot.
-    r = np.exp(0.5 * (lrf[:-1] + lrf[1:]))
-    th = 0.5 * (thf[:-1] + thf[1:]) if thv is None else np.asarray(thv)
-    ph = 0.5 * (phf[:-1] + phf[1:])
-
     R = r[None, None, :]
     TH = th[None, :, None]
     PH = ph[:, None, None]
@@ -69,7 +53,7 @@ def make_fields(p, thf=None, thv=None):
             & (TH >= p["cutoff_th_min"]) & (TH <= np.pi - p["cutoff_th_min"]))
     cutoff = keep.astype(float) * np.ones_like(PH)
 
-    pert = np.ones((p["n_ph"], p["n_th"], p["n_r"]))
+    pert = np.ones((len(ph), len(th), len(r)))
     if p["pert_amp"] != 0.0:
         pr = np.cos(2.0 * np.pi * p["pert_n_r"]
                     * np.log(R / p["cutoff_r_min"])
@@ -99,9 +83,35 @@ def make_fields(p, thf=None, thv=None):
     if not p["bph_no_flip"]:
         bbph = bbph * np.where(TH > np.pi / 2.0, -1.0, 1.0)
 
-    return dict(lrf=lrf, rf=rf, thf=thf, phf=phf, r=r, th=th, ph=ph,
-                rho=rho, pgas=pgas, uur=uur, uuth=uuth, uuph=uuph,
+    return dict(rho=rho, pgas=pgas, uur=uur, uuth=uuth, uuph=uuph,
                 bbr=bbr, bbth=bbth, bbph=bbph)
+
+
+def make_fields(p, thf=None, thv=None):
+    """Analytic torus on a log-r x theta x uniform-phi SKS grid.
+
+    thf/thv optionally override the default uniform theta faces/centers
+    (e.g. with FMKS collocation points for exact cross-format tests).
+
+    Returns dict with grid arrays and (n_ph, n_th, n_r) cell fields:
+    rho, pgas, uur/uuth/uuph (SKS normal frame), bbr/bbth/bbph (SKS
+    cell-frame field).
+    """
+    lrf = np.linspace(np.log(p["r_min"]), np.log(p["r_max"]), p["n_r"] + 1)
+    rf = np.exp(lrf)
+    if thf is None:
+        thf = np.linspace(0.0, np.pi, p["n_th"] + 1)
+    phf = np.linspace(0.0, 2.0 * np.pi, p["n_ph"] + 1)
+    # Geometric-mean radial centers: iharm3d/harm3d readers reconstruct
+    # centers as midpoints in native x^1 = log r, so evaluating fields there
+    # makes every format represent the identical physical snapshot.
+    r = np.exp(0.5 * (lrf[:-1] + lrf[1:]))
+    th = 0.5 * (thf[:-1] + thf[1:]) if thv is None else np.asarray(thv)
+    ph = 0.5 * (phf[:-1] + phf[1:])
+
+    out = dict(lrf=lrf, rf=rf, thf=thf, phf=phf, r=r, th=th, ph=ph)
+    out.update(eval_fields(p, r, th, ph))
+    return out
 
 
 def _sks_frames(fields, p):
@@ -202,6 +212,137 @@ def write_athena(path, fields, p, kappa=False, phi_blocks=1):
                                      for bidx in range(nb)])
                            for v in (fields["bbr"], fields["bbth"],
                                      fields["bbph"])])
+        f.create_dataset("prim", data=prim.astype(np.float32))
+        f.create_dataset("B", data=bfield.astype(np.float32))
+
+
+def write_athena_amr(path, p, kappa=False, block_size=(16, 8, 4),
+                     refine=((0, 0, 0), (0, 1, 0)), pad_block=True):
+    """Mixed-refinement Athena++ .athdf: the root grid splits into equal
+    mesh blocks and each location in `refine` is replaced by its 8
+    level-1 children (standard Athena++ 2:1 octree refinement, the layout
+    the reference's interblock AMR sampler handles via FindNearbyInds,
+    simulation_sampling.cpp:1068-1321).
+
+    block_size is (n_i, n_j, n_k) cells per block = MeshBlockSize in
+    (r, theta, phi); refine entries are level-0 logical locations
+    (li, lj, lk).
+
+    pad_block appends one never-sampled sentinel block (coordinates far
+    outside the domain, unmatched logical location): the reference's
+    interblock ghost formulas literally index one element past a block's
+    coordinate/primitive rows (e.g. x1v(b, n_i) at
+    simulation_sampling.cpp:519, fine-level cell index i*2 == n_i at
+    :1305), which lands in the NEXT block's row of the contiguous Array -
+    except for the final block, where it reads unallocated heap and the
+    output becomes nondeterministic. The sentinel gives those reads a
+    deterministic target so reference goldens are reproducible."""
+    import h5py
+
+    n_r, n_th, n_ph = p["n_r"], p["n_th"], p["n_ph"]
+    nbr, nbt, nbp = block_size
+    if n_r % nbr or n_th % nbt or n_ph % nbp:
+        raise ValueError("block_size must divide the root grid")
+    layout = (n_r // nbr, n_th // nbt, n_ph // nbp)
+    refine = {tuple(t) for t in refine}
+    for t in refine:
+        if not all(0 <= t[ax] < layout[ax] for ax in range(3)):
+            raise ValueError(f"refine location {t} outside layout {layout}")
+
+    # Block list: unrefined roots in (lk, lj, li) order, then children.
+    blocks = []                  # (level, li, lj, lk)
+    for lk in range(layout[2]):
+        for lj in range(layout[1]):
+            for li in range(layout[0]):
+                if (li, lj, lk) in refine:
+                    continue
+                blocks.append((0, li, lj, lk))
+    for (li, lj, lk) in sorted(refine):
+        for ck in range(2):
+            for cj in range(2):
+                for ci in range(2):
+                    blocks.append((1, 2 * li + ci, 2 * lj + cj, 2 * lk + ck))
+    nb = len(blocks) + (1 if pad_block else 0)
+
+    def block_coords(level, li, lj, lk):
+        scale = 1 << level
+        lrf_all = np.linspace(np.log(p["r_min"]), np.log(p["r_max"]),
+                              n_r * scale + 1)
+        thf_all = np.linspace(0.0, np.pi, n_th * scale + 1)
+        phf_all = np.linspace(0.0, 2.0 * np.pi, n_ph * scale + 1)
+        lrf = lrf_all[li * nbr:(li + 1) * nbr + 1]
+        thf = thf_all[lj * nbt:(lj + 1) * nbt + 1]
+        phf = phf_all[lk * nbp:(lk + 1) * nbp + 1]
+        r = np.exp(0.5 * (lrf[:-1] + lrf[1:]))
+        th = 0.5 * (thf[:-1] + thf[1:])
+        ph = 0.5 * (phf[:-1] + phf[1:])
+        return np.exp(lrf), thf, phf, r, th, ph
+
+    prim_names = ["rho", "press", "vel1", "vel2", "vel3"]
+    if kappa:
+        prim_names.append("kappa")
+    x1f = np.zeros((nb, nbr + 1))
+    x2f = np.zeros((nb, nbt + 1))
+    x3f = np.zeros((nb, nbp + 1))
+    x1v = np.zeros((nb, nbr))
+    x2v = np.zeros((nb, nbt))
+    x3v = np.zeros((nb, nbp))
+    prim = np.zeros((len(prim_names), nb, nbp, nbt, nbr))
+    bfield = np.zeros((3, nb, nbp, nbt, nbr))
+    levels = np.zeros(nb, dtype=np.int32)
+    locs = np.zeros((nb, 3), dtype=np.int64)
+    for bidx, (level, li, lj, lk) in enumerate(blocks):
+        rf, thf, phf, r, th, ph = block_coords(level, li, lj, lk)
+        x1f[bidx], x2f[bidx], x3f[bidx] = rf, thf, phf
+        x1v[bidx], x2v[bidx], x3v[bidx] = r, th, ph
+        levels[bidx] = level
+        locs[bidx] = (li, lj, lk)
+        fl = eval_fields(p, r, th, ph)
+        vals = [fl["rho"], fl["pgas"], fl["uur"], fl["uuth"], fl["uuph"]]
+        if kappa:
+            vals.append(fl["pgas"] / fl["rho"] ** p["gamma_adi"])
+        for v_i, v in enumerate(vals):
+            prim[v_i, bidx] = v
+        for v_i, v in enumerate((fl["bbr"], fl["bbth"], fl["bbph"])):
+            bfield[v_i, bidx] = v
+
+    if pad_block:
+        # Sentinel (see docstring): far-away coordinates so no sample or
+        # neighbor lookup ever touches it; floor values in the cells.
+        bidx = nb - 1
+        x1f[bidx] = np.linspace(1.0e3, 1.001e3, nbr + 1)
+        x2f[bidx] = np.linspace(0.0, np.pi, nbt + 1)
+        x3f[bidx] = np.linspace(0.0, 2.0 * np.pi, nbp + 1)
+        x1v[bidx] = 0.5 * (x1f[bidx][:-1] + x1f[bidx][1:])
+        x2v[bidx] = 0.5 * (x2f[bidx][:-1] + x2f[bidx][1:])
+        x3v[bidx] = 0.5 * (x3f[bidx][:-1] + x3f[bidx][1:])
+        levels[bidx] = 0
+        locs[bidx] = (9999, 9999, 9999)
+        prim[0, bidx] = p["rho_floor"]
+        prim[1, bidx] = p["pgas_floor"]
+        if kappa:
+            prim[-1, bidx] = p["pgas_floor"] / p["rho_floor"] ** p["gamma_adi"]
+
+    with h5py.File(path, "w") as f:
+        f.attrs.create("NumCycles", 0, dtype=np.int32)
+        f.attrs.create("Time", p["time"], dtype=np.float32)
+        f.attrs.create("Coordinates", np.bytes_("kerr-schild"))
+        f.attrs.create("RootGridSize", (n_r, n_th, n_ph), dtype=np.int32)
+        f.attrs.create("NumMeshBlocks", nb, dtype=np.int32)
+        f.attrs.create("MeshBlockSize", (nbr, nbt, nbp), dtype=np.int32)
+        f.attrs.create("MaxLevel", 1, dtype=np.int32)
+        f.attrs.create("NumVariables", [len(prim_names), 3], dtype=np.int32)
+        f.attrs.create("DatasetNames", [np.bytes_("prim"), np.bytes_("B")])
+        f.attrs.create("VariableNames", [
+            np.bytes_(s) for s in prim_names + ["Bcc1", "Bcc2", "Bcc3"]])
+        f.create_dataset("Levels", data=levels)
+        f.create_dataset("LogicalLocations", data=locs)
+        f.create_dataset("x1f", data=x1f.astype(np.float32))
+        f.create_dataset("x2f", data=x2f.astype(np.float32))
+        f.create_dataset("x3f", data=x3f.astype(np.float32))
+        f.create_dataset("x1v", data=x1v.astype(np.float32))
+        f.create_dataset("x2v", data=x2v.astype(np.float32))
+        f.create_dataset("x3v", data=x3v.astype(np.float32))
         f.create_dataset("prim", data=prim.astype(np.float32))
         f.create_dataset("B", data=bfield.astype(np.float32))
 
@@ -568,9 +709,17 @@ def main():
             parser.add_argument(f"--{key}", action="store_true")
         else:
             parser.add_argument(f"--{key}", type=type(val), default=val)
+    parser.add_argument("--amr", action="store_true",
+                        help="write a mixed-refinement athena snapshot")
     args = vars(parser.parse_args())
     fmt = args.pop("format")
     path = args.pop("filename")
+    amr = args.pop("amr")
+    if amr:
+        if fmt != "athena":
+            raise SystemExit("--amr requires --format athena")
+        write_athena_amr(path, args)
+        return
     fields = make_fields(args)
     writer = {"athena": write_athena, "athenak": write_athenak,
               "iharm3d": write_iharm3d, "harm3d": write_harm3d}[fmt]
