@@ -53,10 +53,20 @@ class SimulationGrid:
     # Slow light: when set, prim has a leading time axis (T, nvar, ...) and
     # times holds the (decreasing) slice times (simulation_reader.cpp:211-303)
     times: Optional[jnp.ndarray] = None
-    # Cell-major copy (n_b*n_k*n_j*n_i, nvar_padded) float32 for the fast
-    # sampler: one gather fetches ALL variables of a cell pair contiguously
-    # (see grid/sampling.py corner gathers). Built by with_cell_major().
-    prim_cells: Optional[jnp.ndarray] = None
+    # Corner-packed copy (8*nvar, n_cells) float32 for the fast sampler:
+    # column s holds ALL EIGHT trilinear corner values of every variable
+    # for anchor cell s (rows grouped corner-major, corner index
+    # c = dk*4 + dj*2 + di = shift of ((dk*n_j + dj)*n_i + di) cells).
+    # TPU gathers cost ~5 cycles per INDEX almost independent of how much
+    # data the index fetches (measured 204 M idx/s at 8 rows vs 89 M at
+    # 64/72 rows on v5e), so one 64-row column gather replaces the 8x8
+    # per-corner gathers at ~3.5x the throughput, for 8x the snapshot's
+    # HBM footprint. Built by with_packed_corners().
+    prim_packed: Optional[jnp.ndarray] = None
+    # Var-major local slab (nvar, n_b*k_shard_size*n_j*n_i) for spatially
+    # sharded grids (parallel/grid_sharding.py) - sharding exists for
+    # snapshots too big to replicate, so it keeps the 1x-memory layout.
+    prim_local: Optional[jnp.ndarray] = None
     # AMR metadata (host numpy; Athena++/AthenaK only): per-block refinement
     # level, (i, j, k) logical location at that level, and the root phi
     # grid size (simulation_reader.cpp:697-712).
@@ -68,31 +78,54 @@ class SimulationGrid:
     # per-axis location parities (n_b, 3). Built by grid/amr.with_amr_table.
     amr_table: Optional[jnp.ndarray] = None
     loc_parity: Optional[jnp.ndarray] = None
+    # Spatial grid sharding (parallel/grid_sharding.py): when set, prim_local
+    # holds only this device's phi(k)-slab of k_shard_size planes starting at
+    # global plane k_shard_start (a traced scalar inside shard_map), and
+    # every corner gather is psum-reduced over mesh axis `psum_axis` (each
+    # corner is owned by exactly one shard, so the reduction is exact).
+    k_shard_start: Optional[object] = None
+    k_shard_size: Optional[int] = None
+    psum_axis: Optional[str] = None
 
     @property
     def n_blocks(self):
         return self.prim.shape[1]
 
 
-def with_cell_major(grid: SimulationGrid) -> SimulationGrid:
-    """Attach the cell-major primitive table used by the fast sampler.
+def with_packed_corners(grid: SimulationGrid,
+                        max_bytes: int = 4 << 30) -> SimulationGrid:
+    """Attach the corner-packed primitive table used by the fast sampler
+    (see the prim_packed field note for the measured TPU gather economics).
 
-    The var-major (nvar, n_b, n_k, n_j, n_i) layout makes each of the 8
-    trilinear corner gathers touch nvar strided 4-byte elements per sample
-    (one HBM transaction each at ~32x granularity waste). Cell-major rows
-    put a cell's variables contiguously, and i-adjacent cells in adjacent
-    rows, so a single gather of a (2, nvar) slice fetches a corner PAIR in
-    one transaction. Costs one extra copy of the snapshot in HBM; skipped
-    for slow-light windows (time axis handled by the legacy path).
+    Row c*nvar + v of the packed table is variable v's plane shifted by
+    corner c's (dk, dj, di) offset, so gathering ONE column at the anchor
+    cell yields every trilinear corner of every variable. Shifts stay
+    within a block for clamped anchors (k_m <= n_k-2 etc.); the final
+    cells of the table (shifts past the end) are edge-clamped and only
+    reachable from anchors that off-grid handling overwrites anyway.
+
+    Skipped for slow-light windows and when the 8x footprint would exceed
+    max_bytes (the legacy per-var gather path handles those).
     """
-    if grid.times is not None or grid.prim_cells is not None:
+    if grid.times is not None or grid.prim_packed is not None:
         return grid
-    nvar = grid.prim.shape[0]
-    nvarp = 8 if nvar <= 8 else 16
-    cells = jnp.moveaxis(grid.prim, 0, -1).reshape(-1, nvar)
-    if nvarp != nvar:
-        cells = jnp.pad(cells, ((0, 0), (0, nvarp - nvar)))
-    return dataclasses.replace(grid, prim_cells=cells)
+    nvar, n_b, n_k, n_j, n_i = grid.prim.shape
+    n_cells = n_b * n_k * n_j * n_i
+    if 8 * nvar * n_cells * 4 > max_bytes:
+        return grid
+    flat = grid.prim.reshape(nvar, n_cells)
+    rows = []
+    for dk in (0, 1):
+        for dj in (0, 1):
+            for di in (0, 1):
+                shift = (dk * n_j + dj) * n_i + di
+                if shift == 0:
+                    rows.append(flat)
+                else:
+                    rows.append(jnp.concatenate(
+                        [flat[:, shift:],
+                         jnp.repeat(flat[:, -1:], shift, axis=1)], axis=1))
+    return dataclasses.replace(grid, prim_packed=jnp.concatenate(rows, axis=0))
 
 
 def load_athdf(path: str, kappa_name: Optional[str] = None,

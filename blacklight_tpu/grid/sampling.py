@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from blacklight_tpu.grid.athena import SimulationGrid
 from blacklight_tpu.ops import sks
+from blacklight_tpu.utils.errors import BlacklightError
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,56 +214,85 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
 
     use_block_interp = (opts.interp and opts.block_interp and n_b > 1
                         and grid.sks_map is None and not slow)
-    use_cell_major = (grid.prim_cells is not None and not slow
-                      and not use_block_interp)
-    if use_cell_major:
-        # Fast path: cell-major pair gathers (see athena.with_cell_major).
-        # Each (dk, dj) corner pair is ONE gather of a (2, nvarp) contiguous
-        # slice - i-adjacent cells are adjacent rows - so the 8 corners cost
-        # 4 coalesced gathers instead of 8 strided ones.
-        cells_tab = grid.prim_cells
-        nvarp = cells_tab.shape[-1]
-
-        def row_base(kk, jj, ii):
-            return ((b * n_k + kk) * n_j + jj) * n_i + ii
-
-        def gather_pair(start_rows):
-            return jax.vmap(
-                lambda s: jax.lax.dynamic_slice(cells_tab, (s, 0),
-                                                (2, nvarp)))(start_rows)
+    sharded = grid.psum_axis is not None
+    use_packed = (grid.prim_packed is not None and not slow
+                  and not use_block_interp and not sharded)
+    if sharded and (slow or use_block_interp):
+        raise BlacklightError(
+            "Spatially sharded grids do not support slow light or "
+            "interblock interpolation.")
+    if use_packed:
+        # Fast path: ONE column gather from the corner-packed table
+        # (athena.with_packed_corners) fetches all 8 corners of all
+        # variables - TPU gathers are per-index-rate-limited, so this is
+        # ~3.5x the 8-corner per-var form.
+        packed = grid.prim_packed
 
         if opts.interp:
-            pair_mm = gather_pair(row_base(k_m, j_m, i_m))
-            pair_mp = gather_pair(row_base(k_m, j_m + 1, i_m))
-            pair_pm = gather_pair(row_base(k_m + 1, j_m, i_m))
-            pair_pp = gather_pair(row_base(k_m + 1, j_m + 1, i_m))
+            anchor_flat = ((b * n_k + k_m) * n_j + j_m) * n_i + i_m
+            cols = packed[:, anchor_flat]                  # (8*nvar, B)
+            c_mmm = cols[0 * nvar:1 * nvar]
+            c_mmp = cols[1 * nvar:2 * nvar]
+            c_mpm = cols[2 * nvar:3 * nvar]
+            c_mpp = cols[3 * nvar:4 * nvar]
+            c_pmm = cols[4 * nvar:5 * nvar]
+            c_pmp = cols[5 * nvar:6 * nvar]
+            c_ppm = cols[6 * nvar:7 * nvar]
+            c_ppp = cols[7 * nvar:8 * nvar]
             # Same 8-term weighting order as the reference
             # (InterpolateSimple, simulation_sampling.cpp:1334-1351)
-            vals_bn = ((1 - f_k)[:, None] * (1 - f_j)[:, None]
-                       * (1 - f_i)[:, None] * pair_mm[:, 0]
-                       + (1 - f_k)[:, None] * (1 - f_j)[:, None]
-                       * f_i[:, None] * pair_mm[:, 1]
-                       + (1 - f_k)[:, None] * f_j[:, None]
-                       * (1 - f_i)[:, None] * pair_mp[:, 0]
-                       + (1 - f_k)[:, None] * f_j[:, None]
-                       * f_i[:, None] * pair_mp[:, 1]
-                       + f_k[:, None] * (1 - f_j)[:, None]
-                       * (1 - f_i)[:, None] * pair_pm[:, 0]
-                       + f_k[:, None] * (1 - f_j)[:, None]
-                       * f_i[:, None] * pair_pm[:, 1]
-                       + f_k[:, None] * f_j[:, None]
-                       * (1 - f_i)[:, None] * pair_pp[:, 0]
-                       + f_k[:, None] * f_j[:, None]
-                       * f_i[:, None] * pair_pp[:, 1])
-            anchor_bn = pair_mm[:, 0]
+            vals = ((1 - f_k) * (1 - f_j) * (1 - f_i) * c_mmm
+                    + (1 - f_k) * (1 - f_j) * f_i * c_mmp
+                    + (1 - f_k) * f_j * (1 - f_i) * c_mpm
+                    + (1 - f_k) * f_j * f_i * c_mpp
+                    + f_k * (1 - f_j) * (1 - f_i) * c_pmm
+                    + f_k * (1 - f_j) * f_i * c_pmp
+                    + f_k * f_j * (1 - f_i) * c_ppm
+                    + f_k * f_j * f_i * c_ppp)
+            anchor = c_mmm
         else:
-            rows = row_base(k, j, i)
-            vals_bn = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(cells_tab, (s, 0),
-                                                (1, nvarp)))(rows)[:, 0]
-            anchor_bn = vals_bn
-        vals = vals_bn.T
-        anchor = anchor_bn.T
+            flat = ((b * n_k + k) * n_j + j) * n_i + i
+            vals = packed[:nvar, :][:, flat]
+            anchor = vals
+    elif sharded:
+        # Sharded path: per-var masked gathers from this device's k-slab
+        # with one psum per corner over the 'grid' mesh axis - exactly one
+        # shard owns each corner, so the reduction adds structural zeros
+        # and reconstructs the replicated gather exactly. (No packed table
+        # here: sharding exists for snapshots too big to replicate, so the
+        # 8x packed footprint would defeat it.)
+        prim_loc = grid.prim_local
+
+        def corner(kk, jj, ii):
+            kloc = jnp.clip(kk - grid.k_shard_start, 0,
+                            grid.k_shard_size - 1)
+            fi = ((b * grid.k_shard_size + kloc) * n_j + jj) * n_i + ii
+            own = ((kk >= grid.k_shard_start)
+                   & (kk < grid.k_shard_start + grid.k_shard_size))
+            v = jnp.where(own[None, :], prim_loc[:, fi], 0.0)
+            return jax.lax.psum(v, grid.psum_axis)
+
+        if opts.interp:
+            c_mmm = corner(k_m, j_m, i_m)
+            c_mmp = corner(k_m, j_m, i_m + 1)
+            c_mpm = corner(k_m, j_m + 1, i_m)
+            c_mpp = corner(k_m, j_m + 1, i_m + 1)
+            c_pmm = corner(k_m + 1, j_m, i_m)
+            c_pmp = corner(k_m + 1, j_m, i_m + 1)
+            c_ppm = corner(k_m + 1, j_m + 1, i_m)
+            c_ppp = corner(k_m + 1, j_m + 1, i_m + 1)
+            vals = ((1 - f_k) * (1 - f_j) * (1 - f_i) * c_mmm
+                    + (1 - f_k) * (1 - f_j) * f_i * c_mmp
+                    + (1 - f_k) * f_j * (1 - f_i) * c_mpm
+                    + (1 - f_k) * f_j * f_i * c_mpp
+                    + f_k * (1 - f_j) * (1 - f_i) * c_pmm
+                    + f_k * (1 - f_j) * f_i * c_pmp
+                    + f_k * f_j * (1 - f_i) * c_ppm
+                    + f_k * f_j * f_i * c_ppp)
+            anchor = c_mmm
+        else:
+            vals = corner(k, j, i)
+            anchor = vals
     elif use_block_interp and grid.amr_table is not None:
         # EXACT cross-block trilinear interpolation (the reference's
         # interblock mode, simulation_sampling.cpp:505-552 + FindNearbyInds
@@ -315,8 +345,6 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
 
         table_flat = grid.amr_table.reshape(-1, grid.amr_table.shape[-1])
         parity = grid.loc_parity[b]                       # (B, 3)
-        cells_tab = grid.prim_cells
-        nvarp = None if cells_tab is None else cells_tab.shape[-1]
 
         def corner_amr(dk, dj, di):
             cki = i_mr + di
@@ -367,10 +395,6 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
             jj = axis_idx(1, ckj, u_j, n_j, j, th, xv_j)
             kk = axis_idx(2, ckk, u_k, n_k, k, ph, xv_k)
             flat = ((b_alt * n_k + kk) * n_j + jj) * n_i + ii
-            if cells_tab is not None:
-                return jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(
-                        cells_tab, (s, 0), (1, nvarp)))(flat)[:, 0].T
             return prim_flat[:, flat]
 
         c_mmm = corner_amr(0, 0, 0)

@@ -61,6 +61,15 @@ def _formula_coeffs_c(x0, x1, x2, x3, k0, k1, k2, k3, mom, nu, fp, camera_x):
     """Componentwise formula-model invariant j (scaled) and alpha at one
     frequency (models/formula.py semantics; bad -> finite placeholder +
     mask)."""
+    keep, bad, n_n0, u_dot_k = _formula_geom_c(
+        x0, x1, x2, x3, k0, k1, k2, k3, fp, camera_x)
+    return _formula_jalpha_c(keep, bad, n_n0, u_dot_k, mom, nu, fp)
+
+
+def _formula_geom_c(x0, x1, x2, x3, k0, k1, k2, k3, fp, camera_x):
+    """Frequency-independent part of the formula coefficients: spatial
+    cuts, disk 4-velocity, Gaussian density profile, u.k (models/formula.py
+    re-derivation of formula_coefficients.cpp:74-162)."""
     bh_a = fp.bh_a
     r = _radius_c(x1, x2, x3, bh_a)
 
@@ -127,6 +136,12 @@ def _formula_coeffs_c(x0, x1, x2, x3, k0, k1, k2, k3, mom, nu, fp, camera_x):
     n_n0 = jnp.exp(-0.5 * (r * r / (fp.r0 * fp.r0)
                            + fp.h * fp.h * cth * cth))
     u_dot_k = u0 * k0 + u1 * k1 + u2 * k2 + u3 * k3
+    return keep, bad, n_n0, u_dot_k
+
+
+def _formula_jalpha_c(keep, bad, n_n0, u_dot_k, mom, nu, fp):
+    """Per-frequency invariant j (scaled) and alpha from the shared
+    geometry (formula_coefficients.cpp:164-179)."""
     nu_fluid = -u_dot_k * nu * mom
     x_raw = nu_fluid / fp.nup
 
@@ -157,21 +172,29 @@ def _formula_coeffs_c(x0, x1, x2, x3, k0, k1, k2, k3, mom, nu, fp, camera_x):
             bad & keepf)
 
 
-def _make_kernel(params: geo.GeodesicParams, fp, nu: float, mass_msun: float,
-                 camera_x, log_j_scale: float):
+def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
+                 camera_x, log_j_scale: float, integrator: str = "dp"):
+    """Kernel factory: fused geodesics + RT for `integrator` in
+    {"dp", "rk4"} at one or more frequencies (nus: tuple of floats). The
+    geometry/velocity part of the coefficients is shared across
+    frequencies; each frequency adds only its power laws and an (I, tau)
+    tile pair to the carry."""
     spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
     x_unit = Physics.gg_msun * mass_msun / (Physics.c * Physics.c)
-    inv_nu = x_unit / nu
-    i_scale = math.exp(log_j_scale + 3.0 * math.log(nu))
+    nus = tuple(float(v) for v in nus)
+    nf = len(nus)
+    i_scales = [math.exp(log_j_scale + 3.0 * math.log(nu)) for nu in nus]
     max_steps = params.ray_max_steps
     cam = tuple(float(v) for v in np.asarray(camera_x))
 
     def rhs(x0, x1, x2, x3, p0, p1, p2, p3):
         return geodesic_rhs_c(x1, x2, x3, p0, p1, p2, p3, spin, mass,
-                              flat=flat, with_distance=True)
+                              flat=flat, with_distance=(integrator == "dp"))
 
-    def kernel(x0r, x1r, x2r, x3r, p0r, p1r, p2r, p3r, momr,
-               i_out, flag_out, nsamp_out):
+    def kernel(*refs):
+        (x0r, x1r, x2r, x3r, p0r, p1r, p2r, p3r, momr) = refs[:9]
+        i_outs = refs[9:9 + nf]
+        flag_out, nsamp_out = refs[9 + nf:]
         x0, x1, x2, x3 = x0r[:], x1r[:], x2r[:], x3r[:]
         p0, p1, p2, p3 = p0r[:], p1r[:], p2r[:], p3r[:]
         mom = momr[:]
@@ -192,8 +215,53 @@ def _make_kernel(params: geo.GeodesicParams, fp, nu: float, mass_msun: float,
             bad=i_false, r_mid_prev=zero,
             n_samp=jnp.zeros(shape, jnp.int32),
             num_retry=jnp.zeros(shape, jnp.int32), prev_fail=i_false,
-            I=zero, tau=zero,
         )
+        for f_i in range(nf):
+            state0[f"I{f_i}"] = zero
+            state0[f"tau{f_i}"] = zero
+
+        def transfer_update(s, valid, bad_acc, mx0, mx1, mx2, mx3,
+                            mk0, mk1, mk2, mk3, h, out):
+            """Shared fused transfer at the (valid-masked) sample for
+            every frequency; mutates `out` dict entries I*/tau* and
+            returns the accumulated bad mask."""
+            sx0 = jnp.where(valid, mx0, cam[0])
+            sx1 = jnp.where(valid, mx1, cam[1])
+            sx2 = jnp.where(valid, mx2, cam[2])
+            sx3 = jnp.where(valid, mx3, cam[3])
+            sk0 = jnp.where(valid, mk0, -1.0)
+            sk1 = jnp.where(valid, mk1, 1.0)
+            sk2 = jnp.where(valid, mk2, 0.0)
+            sk3 = jnp.where(valid, mk3, 0.0)
+            keep, gbad, n_n0, u_dot_k = _formula_geom_c(
+                sx0, sx1, sx2, sx3, sk0, sk1, sk2, sk3, fp, cam)
+            for f_i, nu in enumerate(nus):
+                j, alpha, cbad = _formula_jalpha_c(
+                    keep, gbad, n_n0, u_dot_k, mom, nu, fp)
+                nfin = ~(jnp.isfinite(j) & jnp.isfinite(alpha))
+                cbad = cbad | nfin
+                j = jnp.where(cbad, 0.0, j)
+                alpha = jnp.where(cbad, 0.0, alpha)
+                bad_acc = bad_acc | (valid & cbad)
+
+                dl_cgs = jnp.where(valid, -h, 0.0) * (x_unit / nu) / mom
+                pos_alpha = alpha > 0.0
+                ss = j / jnp.where(pos_alpha, alpha, 1.0)
+                delta_tau = alpha * dl_cgs
+                atten = jnp.exp(-s[f"tau{f_i}"])
+                thin = delta_tau <= DELTA_TAU_MAX
+                contrib = jnp.where(
+                    pos_alpha,
+                    jnp.where(thin, ss * (-_expm1(-delta_tau)), ss),
+                    j * dl_cgs)
+                out[f"I{f_i}"] = s[f"I{f_i}"] \
+                    + jnp.where(valid, contrib * atten, 0.0)
+                dtau_eff = jnp.where(pos_alpha,
+                                     jnp.where(thin, delta_tau, jnp.inf),
+                                     0.0)
+                out[f"tau{f_i}"] = s[f"tau{f_i}"] \
+                    + jnp.where(valid, dtau_eff, 0.0)
+            return bad_acc
 
         A = geo._DP_A
         B5, B4, B4M = geo._DP_B5, geo._DP_B4, geo._DP_B4M
@@ -296,36 +364,10 @@ def _make_kernel(params: geo.GeodesicParams, fp, nu: float, mass_msun: float,
             alive = s_alive & ~(accept & terminate) & ~dead_from_retry
 
             # --- fused transfer update at the (valid-masked) midpoint ---
-            sx0 = jnp.where(valid, y4m[0], cam[0])
-            sx1 = jnp.where(valid, y4m[1], cam[1])
-            sx2 = jnp.where(valid, y4m[2], cam[2])
-            sx3 = jnp.where(valid, y4m[3], cam[3])
-            sk0 = jnp.where(valid, p0, -1.0)
-            sk1 = jnp.where(valid, m1, 1.0)
-            sk2 = jnp.where(valid, m2, 0.0)
-            sk3 = jnp.where(valid, m3, 0.0)
-            j, alpha, cbad = _formula_coeffs_c(
-                sx0, sx1, sx2, sx3, sk0, sk1, sk2, sk3, mom, nu, fp, cam)
-            nf = ~(jnp.isfinite(j) & jnp.isfinite(alpha))
-            cbad = cbad | nf
-            j = jnp.where(cbad, 0.0, j)
-            alpha = jnp.where(cbad, 0.0, alpha)
-            bad = s_bad | (valid & cbad)
-
-            dl_cgs = jnp.where(valid, -h, 0.0) * inv_nu / mom
-            pos_alpha = alpha > 0.0
-            ss = j / jnp.where(pos_alpha, alpha, 1.0)
-            delta_tau = alpha * dl_cgs
-            atten = jnp.exp(-s["tau"])
-            thin = delta_tau <= DELTA_TAU_MAX
-            contrib = jnp.where(
-                pos_alpha,
-                jnp.where(thin, ss * (-_expm1(-delta_tau)), ss),
-                j * dl_cgs)
-            I = s["I"] + jnp.where(valid, contrib * atten, 0.0)
-            dtau_eff = jnp.where(pos_alpha,
-                                 jnp.where(thin, delta_tau, jnp.inf), 0.0)
-            tau = s["tau"] + jnp.where(valid, dtau_eff, 0.0)
+            out_tr = {}
+            bad = transfer_update(s, valid, s_bad,
+                                  y4m[0], y4m[1], y4m[2], y4m[3],
+                                  p0, m1, m2, m3, h, out_tr)
 
             step_taken = s_alive & accept
             park = ~alive
@@ -348,36 +390,124 @@ def _make_kernel(params: geo.GeodesicParams, fp, nu: float, mass_msun: float,
                 num_retry=jnp.where(s_alive, num_retry, s["num_retry"]),
                 prev_fail=((s_alive & ~accept)
                            | (~s_alive & s_prev_fail)).astype(jnp.int32),
-                I=I, tau=tau,
+                **out_tr,
             )
 
-        s = jax.lax.while_loop(cond, body, state0)
-        img = s["I"] * i_scale
+        def body_rk4(s):
+            """Fixed-step rk4 step (reference geodesics.cpp:418-606 /
+            ops/geodesic.py _make_rk_body semantics: h = -ray_step *
+            (r - r_horizon), midpoint sample, renormalized momenta)."""
+            x0, x1, x2, x3 = s["x0"], s["x1"], s["x2"], s["x3"]
+            p1, p2, p3 = s["p1"], s["p2"], s["p3"]
+            s_alive = s["alive"] > 0
+            s_trunc = s["trunc"] > 0
+            s_flag = s["flag"] > 0
+            s_bad = s["bad"] > 0
+            r = _radius_c(x1, x2, x3, spin)
+            h = jnp.where(s_alive,
+                          -params.ray_step * (r - params.r_horizon), 0.0)
+
+            comps = (x0, x1, x2, x3, p1, p2, p3)
+
+            def at(base, k, w):
+                return [base[ci] + (w * h) * k[ci] for ci in range(7)]
+
+            k1 = rhs(x0, x1, x2, x3, p0, p1, p2, p3)
+            y2 = at(comps, k1, 0.5)
+            k2 = rhs(y2[0], y2[1], y2[2], y2[3], p0, y2[4], y2[5], y2[6])
+            y3 = at(comps, k2, 0.5)
+            k3 = rhs(y3[0], y3[1], y3[2], y3[3], p0, y3[4], y3[5], y3[6])
+            y4 = at(comps, k3, 1.0)
+            k4 = rhs(y4[0], y4[1], y4[2], y4[3], p0, y4[4], y4[5], y4[6])
+            y_end = [comps[ci] + h * (k1[ci] / 6.0 + k2[ci] / 3.0
+                                      + k3[ci] / 3.0 + k4[ci] / 6.0)
+                     for ci in range(7)]
+            y_mid = [0.5 * (comps[ci] + y_end[ci]) for ci in range(7)]
+
+            fac = renormalize_factor_c(y_end[1], y_end[2], y_end[3], p0,
+                                       y_end[4], y_end[5], y_end[6],
+                                       spin, mass, flat=flat)
+            e1, e2, e3 = y_end[4] * fac, y_end[5] * fac, y_end[6] * fac
+            r_new = _radius_c(y_end[1], y_end[2], y_end[3], spin)
+            facm = renormalize_factor_c(y_mid[1], y_mid[2], y_mid[3], p0,
+                                        y_mid[4], y_mid[5], y_mid[6],
+                                        spin, mass, flat=flat)
+            m1, m2, m3 = y_mid[4] * facm, y_mid[5] * facm, y_mid[6] * facm
+            r_mid = _radius_c(y_mid[1], y_mid[2], y_mid[3], spin)
+
+            have_prev = s["n_samp"] > 0
+            trunc_now = have_prev & (
+                ((r_mid > params.camera_r) & (r_mid > s["r_mid_prev"]))
+                | (r_mid < params.r_terminate))
+            trunc = s_trunc | trunc_now
+            valid = s_alive & ~trunc
+
+            terminate = ((r_new > params.camera_r) & (r_new > r)) \
+                | (r_new < params.r_terminate)
+            is_last = s["n"] == max_steps - 1
+            flag = s_flag | (s_alive & ~terminate & is_last)
+            alive = s_alive & ~terminate
+
+            out_tr = {}
+            bad = transfer_update(s, valid, s_bad,
+                                  y_mid[0], y_mid[1], y_mid[2], y_mid[3],
+                                  p0, m1, m2, m3, h, out_tr)
+
+            park = ~alive
+            nx0 = jnp.where(park, 0.0, jnp.where(s_alive, y_end[0], x0))
+            nx1 = jnp.where(park, 1.0e3, jnp.where(s_alive, y_end[1], x1))
+            nx2 = jnp.where(park, 0.0, jnp.where(s_alive, y_end[2], x2))
+            nx3 = jnp.where(park, 0.0, jnp.where(s_alive, y_end[3], x3))
+            np1 = jnp.where(park, 1.0, jnp.where(s_alive, e1, p1))
+            np2 = jnp.where(park, 0.0, jnp.where(s_alive, e2, p2))
+            np3 = jnp.where(park, 0.0, jnp.where(s_alive, e3, p3))
+
+            return dict(
+                n=s["n"] + 1,
+                x0=nx0, x1=nx1, x2=nx2, x3=nx3, p1=np1, p2=np2, p3=np3,
+                h=s["h"],
+                alive=alive.astype(jnp.int32), trunc=trunc.astype(jnp.int32),
+                flag=flag.astype(jnp.int32), bad=bad.astype(jnp.int32),
+                r_mid_prev=jnp.where(valid, r_mid, s["r_mid_prev"]),
+                n_samp=s["n_samp"] + valid.astype(jnp.int32),
+                num_retry=s["num_retry"], prev_fail=s["prev_fail"],
+                **out_tr,
+            )
+
+        s = jax.lax.while_loop(cond, body if integrator == "dp" else body_rk4,
+                               state0)
         poison = s["bad"] > 0
         if params.fallback_nan:
             poison = poison | (s["flag"] > 0)
-        i_out[:] = jnp.where(poison, jnp.nan, img)
+        for f_i in range(nf):
+            i_outs[f_i][:] = jnp.where(poison, jnp.nan,
+                                       s[f"I{f_i}"] * i_scales[f_i])
         flag_out[:] = s["flag"]
         nsamp_out[:] = s["n_samp"]
 
     return kernel
 
 
-def render_formula_dp(positions, directions, momentum_factors, frequency,
-                      params: geo.GeodesicParams, fp, mass_msun: float,
-                      camera_x, log_j_scale: float, fallback_nan: bool = True,
-                      interpret: bool = False):
+def render_formula(positions, directions, momentum_factors, frequencies,
+                   params: geo.GeodesicParams, fp, mass_msun: float,
+                   camera_x, log_j_scale: float, fallback_nan: bool = True,
+                   integrator: str = "dp", interpret: bool = False):
     """Pallas fused render of a ray bundle.
 
     Args:
       positions/directions: (B, 4) f32 camera rays (B padded to ROWS*128
-        internally); momentum_factors: (B,); frequency: scalar Hz.
+        internally); momentum_factors: (B,); frequencies: scalar Hz or a
+        sequence of them (true-color multi-frequency).
       fp: FormulaParams (plus geometry/cut fields used by the coefficient
-        function). interpret: run the kernel in interpreter mode (CPU
-        testing).
+        function). integrator: "dp" or "rk4". interpret: run the kernel in
+        interpreter mode (CPU testing).
 
-    Returns (I_nu (B,), flags (B,) bool, n_samples (B,)).
+    Returns (I_nu (B, F) - or (B,) when a scalar frequency was given -,
+    flags (B,) bool, n_samples (B,)).
     """
+    scalar_freq = np.ndim(frequencies) == 0
+    nus = ([float(frequencies)] if scalar_freq
+           else [float(v) for v in np.asarray(frequencies)])
     b = positions.shape[0]
     block = ROWS * LANES
     n_pad = (-b) % block
@@ -405,28 +535,40 @@ def render_formula_dp(positions, directions, momentum_factors, frequency,
     cols = [c.reshape(n_blocks * ROWS, LANES) for c in cols]
 
     kernel_params = _KParams(params, fallback_nan)
-    kernel = _make_kernel(kernel_params, fp, float(frequency), mass_msun,
-                          np.asarray(camera_x, np.float64), log_j_scale)
+    kernel = _make_kernel(kernel_params, fp, nus, mass_msun,
+                          np.asarray(camera_x, np.float64), log_j_scale,
+                          integrator=integrator)
 
+    nf = len(nus)
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    out_shape = [
-        jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), dtype),
-        jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), jnp.int32),
-    ]
-    i_img, flags, nsamp = pl.pallas_call(
+    out_shape = (
+        [jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), dtype)] * nf
+        + [jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), jnp.int32)] * 2)
+    outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[spec] * 9,
-        out_specs=[spec] * 3,
+        out_specs=[spec] * (nf + 2),
         out_shape=out_shape,
         interpret=interpret,
     )(*cols)
-    i_img = i_img.reshape(-1)[:b]
-    flags = flags.reshape(-1)[:b].astype(bool)
-    nsamp = nsamp.reshape(-1)[:b]
+    imgs = [o.reshape(-1)[:b] for o in outs[:nf]]
+    flags = outs[nf].reshape(-1)[:b].astype(bool)
+    nsamp = outs[nf + 1].reshape(-1)[:b]
+    i_img = imgs[0] if scalar_freq else jnp.stack(imgs, axis=-1)
     return i_img, flags, nsamp
+
+
+def render_formula_dp(positions, directions, momentum_factors, frequency,
+                      params: geo.GeodesicParams, fp, mass_msun: float,
+                      camera_x, log_j_scale: float, fallback_nan: bool = True,
+                      interpret: bool = False):
+    """Single-frequency dp wrapper (the original benchmark entry point)."""
+    return render_formula(positions, directions, momentum_factors,
+                          frequency, params, fp, mass_msun, camera_x,
+                          log_j_scale, fallback_nan=fallback_nan,
+                          integrator="dp", interpret=interpret)
 
 
 class _KParams:

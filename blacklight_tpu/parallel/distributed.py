@@ -33,8 +33,13 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """jax.distributed handshake; no-op when already initialized or when
-    running single-process (the common local case)."""
-    if jax.process_count() > 1:
+    running single-process (the common local case).
+
+    Must run before anything initializes the XLA backend (jax.devices()
+    etc.), so the already-initialized check inspects the distributed
+    global state rather than process_count()."""
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
         return  # already initialized
     if coordinator_address is None and num_processes is None:
         # Environment-driven (TPU pod slices auto-configure)

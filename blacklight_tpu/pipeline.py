@@ -183,9 +183,27 @@ def adaptive_loop(cfg, render_fn, geom, root_image):
             camera_r=cfg.require("camera_r"),
             image_normalization=cfg.require("image_normalization"),
             ray_flat=cfg.require("ray_flat"))
-        image_l = render_fn(child_rays.positions, child_rays.directions,
-                            child_rays.momentum_factors)
+        # Bucket the ragged child-bundle size to the next power of two of
+        # blocks so deep refinements reuse a handful of executables
+        # instead of compiling one per level's exact block count
+        # (padding rays repeat ray 0 and are sliced off).
         n_blocks = locs.shape[0]
+        n_pix = n_blocks * bs * bs
+        pad_blocks = 1 << max(n_blocks - 1, 0).bit_length()
+        n_pad = pad_blocks * bs * bs - n_pix
+
+        def padded(a):
+            if n_pad == 0:
+                return a
+            reps = np.broadcast_to(np.asarray(a)[:1],
+                                   (n_pad,) + a.shape[1:])
+            return np.concatenate([np.asarray(a), reps], axis=0)
+
+        image_l = render_fn(padded(child_rays.positions),
+                            padded(child_rays.directions),
+                            padded(child_rays.momentum_factors))
+        if n_pad:
+            image_l = {k: v[:n_pix] for k, v in image_l.items()}
         rendering = None
         if "rendering" in image_l:
             rendering = np.transpose(np.asarray(image_l["rendering"]),

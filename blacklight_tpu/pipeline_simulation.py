@@ -232,8 +232,8 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
     dtype = pipeline.compute_dtype(cfg)
     bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
     grid, snapshot_time = load_grid(cfg, snapshot=snapshot, dtype=dtype)
-    from blacklight_tpu.grid.athena import with_cell_major
-    grid = with_cell_major(grid)
+    from blacklight_tpu.grid.athena import with_packed_corners
+    grid = with_packed_corners(grid)
     if bool(cfg.simulation_block_interp) and cfg.require("simulation_interp"):
         from blacklight_tpu.grid.amr import with_amr_table
         grid = with_amr_table(grid)

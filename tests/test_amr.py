@@ -21,10 +21,10 @@ def amr_grid(fixtures_dir):
     import jax.numpy as jnp  # noqa: F401 (ensures jax configured)
 
     from blacklight_tpu.grid.amr import with_amr_table
-    from blacklight_tpu.grid.athena import load_athdf, with_cell_major
+    from blacklight_tpu.grid.athena import load_athdf, with_packed_corners
 
     g = load_athdf(str(fixtures_dir / "mock_amr.athdf"))
-    return with_cell_major(with_amr_table(g))
+    return with_packed_corners(with_amr_table(g))
 
 
 def test_amr_metadata_loaded(amr_grid):

@@ -135,3 +135,82 @@ def test_simulation_gradient_with_nan_fallback(tmp_path):
     assert np.isnan(np.asarray(img)).any()
     # ... yet the gradient over the finite ones is finite and nonzero
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_polarized_gradient_matches_fd(fixtures_dir):
+    """AD gradient of total Stokes-I flux wrt a density scale through the
+    FULL polarized path (coherency transport + tetrad coupling + Faraday
+    rotation + admissibility clamps) matches central finite differences.
+    The scan body is jax.checkpoint'ed, so backward rematerializes each
+    step instead of storing every per-step intermediate."""
+    from blacklight_tpu import read_config
+    from blacklight_tpu.pipeline_simulation import (
+        load_grid, make_simulation_coeff_fns)
+    from blacklight_tpu.transfer.polarized import integrate_polarized
+
+    cfg = read_config(str(fixtures_dir / "golden_polarized_rk4_32.input"))
+    cfg.simulation_file = str(fixtures_dir / "mock_small.athdf")
+    cfg.camera_resolution = 2
+    cfg.ray_max_steps = 2000
+
+    bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
+    grid0, _ = load_grid(cfg)
+    geom, rays, freqs = make_camera(cfg, bh_m=bh_m, bh_a=bh_a)
+    params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
+
+    def stokes(scale):
+        grid = dataclasses.replace(
+            grid0, prim=grid0.prim.at[grid0.ind["rho"]].multiply(scale))
+        coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
+            cfg, grid, geom, freqs, rays.momentum_factors, polarized=True)
+        img = integrate_polarized(
+            rays.positions, rays.directions, rays.momentum_factors, freqs,
+            params=params, coeff_fn=coeff_fn, opts=ImageOptions(),
+            mass_msun=mass_msun, camera_x=geom.cam_x,
+            camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
+            camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale)
+        return (jnp.nansum(img["I_nu"]) + jnp.nansum(jnp.abs(img["Q_nu"]))
+                + jnp.nansum(jnp.abs(img["V_nu"])))
+
+    f = jax.jit(stokes)
+    g = jax.jit(jax.grad(stokes))(jnp.asarray(1.0))
+    eps = 1e-4
+    fd = (f(jnp.asarray(1.0 + eps)) - f(jnp.asarray(1.0 - eps))) / (2 * eps)
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), float(fd), rtol=2e-3)
+
+
+def test_polarized_gradient_rotation_split_finite(fixtures_dir):
+    """The Strang-rotation-split coupling mode also has finite, nonzero
+    gradients (clamp ladders are where()-sanitized)."""
+    from blacklight_tpu import read_config
+    from blacklight_tpu.pipeline_simulation import (
+        load_grid, make_simulation_coeff_fns)
+    from blacklight_tpu.transfer.polarized import integrate_polarized
+
+    cfg = read_config(str(fixtures_dir / "golden_polarized_rk4_32.input"))
+    cfg.simulation_file = str(fixtures_dir / "mock_small.athdf")
+    cfg.camera_resolution = 2
+    cfg.ray_max_steps = 2000
+
+    bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
+    grid0, _ = load_grid(cfg)
+    geom, rays, freqs = make_camera(cfg, bh_m=bh_m, bh_a=bh_a)
+    params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
+
+    def total(scale):
+        grid = dataclasses.replace(
+            grid0, prim=grid0.prim.at[grid0.ind["rho"]].multiply(scale))
+        coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
+            cfg, grid, geom, freqs, rays.momentum_factors, polarized=True)
+        img = integrate_polarized(
+            rays.positions, rays.directions, rays.momentum_factors, freqs,
+            params=params, coeff_fn=coeff_fn, opts=ImageOptions(),
+            mass_msun=mass_msun, camera_x=geom.cam_x,
+            camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
+            camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale,
+            rotation_split=True)
+        return jnp.nansum(img["I_nu"])
+
+    g = jax.jit(jax.grad(total))(jnp.asarray(1.0))
+    assert np.isfinite(float(g)) and float(g) != 0.0

@@ -22,7 +22,10 @@ def test_polarized_rk4_exact_parity(fixtures_dir):
     cfg, image = render(fixtures_dir, "golden_polarized_rk4_32.input")
     gold = np.load(fixtures_dir / "golden_polarized_rk4_32.npz")
     i_scale = np.nanmax(np.abs(gold["I_nu"]))
-    tols = {"I_nu": 1e-8, "Q_nu": 1e-4, "U_nu": 1e-4, "V_nu": 1e-4}
+    # Q/U/V tightened from 1e-4 after replacing the A&S ~2e-7 Bessel K
+    # polynomials with float64-grade series/CF2 (models/synchrotron.py):
+    # measured maxima are Q 5e-8, U 3e-9, V 2e-6.
+    tols = {"I_nu": 1e-8, "Q_nu": 1e-6, "U_nu": 1e-7, "V_nu": 1e-5}
     for k, tol in tols.items():
         ours = image[k][:, 0].reshape(32, 32)
         g = gold[k]
