@@ -237,9 +237,10 @@ _EULER_GAMMA = 0.5772156649015328606
 # 2.25 at the x = 3 switchover and term_k ~ t^k/(k!)^2, so 22 terms reach
 # ~1e-31 - full float64 convergence.
 _BESSEL_SERIES_TERMS = 22
-# Steed/Temme CF2 iterations for x >= 2 (converges geometrically; 80 is
-# ample for full double precision over x in [2, 700]).
-_BESSEL_CF2_ITERS = 80
+# Steed/Temme CF2 iterations for x >= 2 (worst case is the x = 3
+# switchover: 40 iterations reach 8e-14 relative; large x converges in
+# far fewer).
+_BESSEL_CF2_ITERS = 40
 
 
 def _bessel_k01_small(x):

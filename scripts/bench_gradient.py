@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--precision", default="float32")
+    ap.add_argument("--pose", action="store_true",
+                    help="also differentiate wrt ray positions (camera "
+                         "pose); needs float64 - photon-ring pixel "
+                         "gradients grow exponentially along the ray and "
+                         "overflow float32")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +75,8 @@ def main():
             log_j_scale=formula_model.formula_log_j_scale(fp))
         return jnp.sum(img["I_nu"])
 
-    grad_fn = jax.jit(jax.value_and_grad(total_flux, argnums=(0, 1)))
+    argnums = (0, 1) if args.pose else (0,)
+    grad_fn = jax.jit(jax.value_and_grad(total_flux, argnums=argnums))
 
     n = args.res * args.res
     tile = args.tile
@@ -101,11 +107,14 @@ def main():
         times.append(time.perf_counter() - t0)
     t = min(times)
     g_cn0 = sum(float(o[1][0]) for o in outs)
-    g_pos = np.concatenate([np.asarray(o[1][1]) for o in outs])
-    assert np.isfinite(g_cn0) and np.isfinite(g_pos).all()
+    assert np.isfinite(g_cn0)
+    if args.pose:
+        g_pos = np.concatenate([np.asarray(o[1][1]) for o in outs])
+        assert np.isfinite(g_pos).all()
     print(json.dumps({
         "res": args.res, "steps": args.steps, "precision": args.precision,
-        "mode": "forward+backward", "time_s": round(t, 2),
+        "mode": "forward+backward", "wrt": "cn0+pose" if args.pose else "cn0",
+        "time_s": round(t, 2),
         "compile_s": round(compile_s, 1),
         "rays_per_s": round(n / t, 1),
     }))

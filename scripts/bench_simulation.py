@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--tile", type=int, default=128)
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--grid", default="128,64,64")
+    ap.add_argument("--freqs", type=int, default=1,
+                    help="number of image frequencies (true-color = 10)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--precision", default="float32")
     args = ap.parse_args()
@@ -53,6 +55,13 @@ def main():
     cfg.precision = args.precision
     cfg.ray_max_steps = args.steps
     cfg.camera_resolution = args.res
+    if args.freqs > 1:
+        # true-color style log-spaced band (example_true_color.input)
+        cfg.image_num_frequencies = args.freqs
+        cfg.image_frequency_start = 1.0e11
+        cfg.image_frequency_end = 1.0e12
+        from blacklight_tpu.constants import FrequencySpacing
+        cfg.image_frequency_spacing = FrequencySpacing.log
 
     render_fn, geom, rays, frequencies, mass = make_simulation_renderer(cfg)
     res, tile = args.res, args.tile
@@ -85,6 +94,7 @@ def main():
     assert np.isfinite(np.nanmax(i_img)), "bad image"
     print(json.dumps({
         "res": res, "steps": args.steps, "grid": args.grid,
+        "freqs": args.freqs,
         "precision": args.precision, "time_s": round(t, 2),
         "compile_s": round(compile_s, 1),
         "rays_per_s": round(n / t, 1),

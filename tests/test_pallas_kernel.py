@@ -78,7 +78,8 @@ def test_pallas_rk4_multifrequency_matches_scan(tmp_path):
     cfg.image_num_frequencies = 3
     cfg.image_frequency_start = 1.0e11
     cfg.image_frequency_end = 4.0e11
-    cfg.image_frequency_spacing = "log_width"
+    from blacklight_tpu.constants import FrequencySpacing
+    cfg.image_frequency_spacing = FrequencySpacing.log
     bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
     geom, rays, freqs = make_camera(cfg, bh_m=bh_m, bh_a=bh_a,
                                     dtype=jnp.float32)
