@@ -15,8 +15,8 @@ truncation, null renormalization, invariant-transfer update, NaN-poisoning
 via masks); `render_formula_dp` is verified against integrate_unpolarized
 in tests (interpret mode on CPU, compiled on TPU).
 
-Scope: dp integrator, formula model, image_light, single frequency - the
-benchmark path. Other configurations use the scan path.
+Scope: dp/rk4/rk2 integrators, formula model, image_light, one or many
+frequencies. Other configurations use the scan path.
 """
 
 from __future__ import annotations
@@ -175,7 +175,7 @@ def _formula_jalpha_c(keep, bad, n_n0, u_dot_k, mom, nu, fp):
 def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
                  camera_x, log_j_scale: float, integrator: str = "dp"):
     """Kernel factory: fused geodesics + RT for `integrator` in
-    {"dp", "rk4"} at one or more frequencies (nus: tuple of floats). The
+    {"dp", "rk4", "rk2"} at one or more frequencies (nus: tuple of floats). The
     geometry/velocity part of the coefficients is shared across
     frequencies; each frequency adds only its power laws and an (I, tau)
     tile pair to the carry."""
@@ -394,9 +394,10 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
             )
 
         def body_rk4(s):
-            """Fixed-step rk4 step (reference geodesics.cpp:418-606 /
+            """Fixed-step rk4/rk2 step (reference geodesics.cpp:418-795 /
             ops/geodesic.py _make_rk_body semantics: h = -ray_step *
-            (r - r_horizon), midpoint sample, renormalized momenta)."""
+            (r - r_horizon), midpoint (rk4) or half-step (rk2) sample,
+            renormalized momenta)."""
             x0, x1, x2, x3 = s["x0"], s["x1"], s["x2"], s["x3"]
             p1, p2, p3 = s["p1"], s["p2"], s["p3"]
             s_alive = s["alive"] > 0
@@ -413,16 +414,27 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
                 return [base[ci] + (w * h) * k[ci] for ci in range(7)]
 
             k1 = rhs(x0, x1, x2, x3, p0, p1, p2, p3)
-            y2 = at(comps, k1, 0.5)
-            k2 = rhs(y2[0], y2[1], y2[2], y2[3], p0, y2[4], y2[5], y2[6])
-            y3 = at(comps, k2, 0.5)
-            k3 = rhs(y3[0], y3[1], y3[2], y3[3], p0, y3[4], y3[5], y3[6])
-            y4 = at(comps, k3, 1.0)
-            k4 = rhs(y4[0], y4[1], y4[2], y4[3], p0, y4[4], y4[5], y4[6])
-            y_end = [comps[ci] + h * (k1[ci] / 6.0 + k2[ci] / 3.0
-                                      + k3[ci] / 3.0 + k4[ci] / 6.0)
-                     for ci in range(7)]
-            y_mid = [0.5 * (comps[ci] + y_end[ci]) for ci in range(7)]
+            if integrator == "rk4":
+                y2 = at(comps, k1, 0.5)
+                k2 = rhs(y2[0], y2[1], y2[2], y2[3], p0,
+                         y2[4], y2[5], y2[6])
+                y3 = at(comps, k2, 0.5)
+                k3 = rhs(y3[0], y3[1], y3[2], y3[3], p0,
+                         y3[4], y3[5], y3[6])
+                y4 = at(comps, k3, 1.0)
+                k4 = rhs(y4[0], y4[1], y4[2], y4[3], p0,
+                         y4[4], y4[5], y4[6])
+                y_end = [comps[ci] + h * (k1[ci] / 6.0 + k2[ci] / 3.0
+                                          + k3[ci] / 3.0 + k4[ci] / 6.0)
+                         for ci in range(7)]
+                y_mid = [0.5 * (comps[ci] + y_end[ci]) for ci in range(7)]
+            else:  # rk2 (Heun); sample is y + h/2 k1 (geodesics.cpp:626-795)
+                yf = at(comps, k1, 1.0)
+                k2 = rhs(yf[0], yf[1], yf[2], yf[3], p0,
+                         yf[4], yf[5], yf[6])
+                y_end = [comps[ci] + 0.5 * h * (k1[ci] + k2[ci])
+                         for ci in range(7)]
+                y_mid = at(comps, k1, 0.5)
 
             fac = renormalize_factor_c(y_end[1], y_end[2], y_end[3], p0,
                                        y_end[4], y_end[5], y_end[6],
@@ -499,7 +511,7 @@ def render_formula(positions, directions, momentum_factors, frequencies,
         internally); momentum_factors: (B,); frequencies: scalar Hz or a
         sequence of them (true-color multi-frequency).
       fp: FormulaParams (plus geometry/cut fields used by the coefficient
-        function). integrator: "dp" or "rk4". interpret: run the kernel in
+        function). integrator: "dp", "rk4", or "rk2". interpret: run the kernel in
         interpreter mode (CPU testing).
 
     Returns (I_nu (B, F) - or (B,) when a scalar frequency was given -,

@@ -93,3 +93,35 @@ def test_polarized_ave_images_match_unpolarized(fixtures_dir):
         scale = np.nanmax(np.abs(a)) or 1.0
         np.testing.assert_allclose(np.nan_to_num(b), np.nan_to_num(a),
                                    atol=1e-8 * scale, err_msg=key)
+
+
+def test_polarized_multifrequency_consistency(fixtures_dir):
+    """A multi-frequency polarized call gives the same Stokes vectors per
+    frequency as separate single-frequency calls (the flat (B*F,)
+    component layout indexes frequencies correctly)."""
+    from blacklight_tpu import pipeline
+    from blacklight_tpu.camera import make_camera
+    from blacklight_tpu.constants import FrequencySpacing
+
+    common = dict(camera_resolution=4, ray_max_steps=800)
+    cfg_m, img_m = render(fixtures_dir, "golden_polarized_rk4_32.input",
+                          image_num_frequencies=3,
+                          image_frequency_start=1.0e11,
+                          image_frequency_end=4.0e11,
+                          image_frequency_spacing=FrequencySpacing.log,
+                          **common)
+    bh_m, bh_a, _ = pipeline.bh_mass_spin(cfg_m)
+    _, _, freq_arr = make_camera(cfg_m, bh_m=bh_m, bh_a=bh_a)
+    for fi in range(3):
+        nu = float(np.asarray(freq_arr)[fi])
+        cfg_s, img_s = render(fixtures_dir, "golden_polarized_rk4_32.input",
+                              image_num_frequencies=1, image_frequency=nu,
+                              **common)
+        i_scale = np.nanmax(np.abs(np.asarray(img_s["I_nu"])[:, 0]))
+        for k in ("I_nu", "Q_nu", "U_nu", "V_nu"):
+            # atol floor at 1e-12 of the Stokes-I scale: compiler fusion
+            # differs between the F=3 and F=1 executables, so near-zero
+            # polarization pixels carry ulp-level absolute noise
+            np.testing.assert_allclose(
+                np.asarray(img_m[k])[:, fi], np.asarray(img_s[k])[:, 0],
+                rtol=1e-9, atol=1e-12 * i_scale, err_msg=f"{k} freq {fi}")
