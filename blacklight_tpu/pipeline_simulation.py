@@ -32,6 +32,11 @@ from blacklight_tpu.transfer.unpolarized import ImageOptions, integrate_unpolari
 from blacklight_tpu.utils.errors import BlacklightError
 
 
+# Pixel-axis chunk for the (sample-materializing) polarized path: 16k rays
+# x 2000 steps x (pos+dir) float32 ~ 1 GB of samples per chunk.
+POLARIZED_CHUNK = 16384
+
+
 def plasma_params_from_config(cfg) -> synchrotron.PlasmaParams:
     model = cfg.require("plasma_model")
     power_frac = cfg.require("plasma_power_frac")
@@ -317,19 +322,49 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
             return jax.jit(lambda p, d, m, s: fused(p, d, m, s, None))
         return jax.jit(lambda p, d, m: fused(p, d, m, None, None))
 
+    def _render_one(positions, directions, momentum_factors,
+                    stored, stored_prims):
+        if stored_prims is not None:
+            return fused_for(True, True)(positions, directions,
+                                         momentum_factors, stored,
+                                         stored_prims)
+        if stored is not None:
+            return fused_for(True, False)(positions, directions,
+                                          momentum_factors, stored)
+        return fused_for(False, False)(positions, directions,
+                                       momentum_factors)
+
     def render_fn(positions, directions, momentum_factors,
                   stored=None, stored_prims=None):
-        if stored_prims is not None:
-            image = fused_for(True, True)(positions, directions,
-                                          momentum_factors, stored,
-                                          stored_prims)
-        elif stored is not None:
-            image = fused_for(True, False)(positions, directions,
-                                           momentum_factors, stored)
+        n = positions.shape[0]
+        if polarized and n > POLARIZED_CHUNK:
+            # The polarized integrator materializes (S, B, 4) geodesic
+            # samples (unlike the streaming unpolarized scan); chunk the
+            # pixel axis so large cameras never hold the whole bundle's
+            # samples in HBM at once.
+            from blacklight_tpu.ops import geodesic as geo
+            images = []
+            for i in range(0, n, POLARIZED_CHUNK):
+                sl = slice(i, min(i + POLARIZED_CHUNK, n))
+                st = None
+                if stored is not None:
+                    samples, flg, nsmp = stored
+                    st = (geo.Sample(
+                        pos=samples.pos[:, sl], dir=samples.dir[:, sl],
+                        len=samples.len[:, sl], valid=samples.valid[:, sl]),
+                        flg[sl], nsmp[sl])
+                sp = None if stored_prims is None else \
+                    {k: v[:, sl] for k, v in stored_prims.items()}
+                images.append(jax.tree.map(
+                    np.asarray,
+                    _render_one(positions[sl], directions[sl],
+                                momentum_factors[sl], st, sp)))
+            image = {k: np.concatenate([im[k] for im in images], axis=0)
+                     for k in images[0]}
         else:
-            image = fused_for(False, False)(positions, directions,
-                                            momentum_factors)
-        image = jax.tree.map(lambda a: np.asarray(a), image)
+            image = jax.tree.map(np.asarray, _render_one(
+                positions, directions, momentum_factors, stored,
+                stored_prims))
         if slow and "_t_min" in image:
             _check_time_extrapolation(image, grid, snapshot_time, snapshot)
         return image

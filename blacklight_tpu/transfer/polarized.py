@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from blacklight_tpu.constants import NUM_CELL_VALUES, Physics, RayIntegrator
 from blacklight_tpu.ops import connection as connection_mod
 from blacklight_tpu.ops import geodesic, geometry
-from blacklight_tpu.ops.tetrad import tetrad_cks
+from blacklight_tpu.ops.tetrad import tetrad_rows_c
 from blacklight_tpu.transfer.polarized_coupling import couple_matter_c
 from blacklight_tpu.transfer.unpolarized import DELTA_TAU_MAX, ImageOptions
 from blacklight_tpu.utils.errors import BlacklightError
@@ -320,19 +320,29 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
             # NaN primals destroy reverse-mode (see unpolarized.py)
             state["coeff_bad"] = state["coeff_bad"] | (
                 active[:, None] & coeffs["bad"])
-        g_cov, g_con = geometry.gcov_gcon(pos[:, 1:4], spin, mass, flat=flat)
-        ucov = jnp.einsum("Bmn,Bn->Bm", g_cov, ucon)
-        zhat = jnp.zeros_like(bcon).at[:, 3].set(1.0)
-        upcon = jnp.where(b_zero[:, None], zhat, bcon)
-        tet = tetrad_cks(ucon, ucov, kcon, kcov, upcon, g_cov, g_con)
+
+        # Fluid tetrad rows in scalarized rank-1 Kerr-Schild form
+        # (ops/tetrad.tetrad_rows_c): no (B, 4, 4) metric/tetrad tensors
+        # in the hot loop
+        if flat:
+            f_ks = jnp.zeros_like(pos[:, 0])
+            l_ks = (f_ks, f_ks, f_ks)
+        else:
+            _, f_ks, l_ks, _, _ = derivs_cur
+        upcon_c = tuple(
+            jnp.where(b_zero, 1.0 if m == 3 else 0.0, bcon[:, m])
+            for m in range(4))
+        t1c, t2c, e1_cov, e2_cov = tetrad_rows_c(
+            tuple(ucon[:, m] for m in range(4)),
+            tuple(kcon[:, m] for m in range(4)),
+            tuple(kcov[:, m] for m in range(4)),
+            upcon_c, f_ks, l_ks)
 
         # N -> tetrad-frame Stokes (polarized.cpp:264-292): only the
         # (1,2)x(1,2) tetrad block feeds the Stokes vector, so only the
         # two covariant tetrad rows e1/e2 are formed (as flat scalars)
-        e1_cov = jnp.einsum("Bn,Bnm->Bm", tet[:, 1, :], g_cov)
-        e2_cov = jnp.einsum("Bn,Bnm->Bm", tet[:, 2, :], g_cov)
-        e1 = [_ex(e1_cov[:, m]) for m in range(4)]
-        e2 = [_ex(e2_cov[:, m]) for m in range(4)]
+        e1 = [_ex(c) for c in e1_cov]
+        e2 = [_ex(c) for c in e2_cov]
         ss_i, ss_q, ss_u, ss_v = _stokes_from_n(e1, e2, nn_half_re,
                                                 nn_half_im)
 
@@ -343,6 +353,8 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
                                       jnp.minimum(state["time"], t_cgs),
                                       state["time"])
         if opts.length:
+            g_cov, g_con = geometry.gcov_gcon(pos[:, 1:4], spin, mass,
+                                              flat=flat)
             q = (jnp.einsum("Bam,Bm->Ba", g_con[:, 1:, :], kcov)
                  - g_con[:, 0, 1:] * (jnp.einsum("Bm,Bm->B", g_con[:, 0, :], kcov)
                                       / g_con[:, 0, 0])[:, None])
@@ -423,8 +435,8 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         # Stokes -> N (I 13; polarized.cpp:793-813): the tetrad-frame N is
         # nonzero only in the 2x2 transverse block, reconstructed from the
         # two contravariant tetrad rows
-        t1 = [_ex(tet[:, 1, m]) for m in range(4)]
-        t2 = [_ex(tet[:, 2, m]) for m in range(4)]
+        t1 = [_ex(c) for c in t1c]
+        t2 = [_ex(c) for c in t2c]
         nn_post_re, nn_post_im = _n_from_stokes(t1, t2, *ss_end)
 
         # Second-half transport (polarized.cpp:815-833)
@@ -454,7 +466,6 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     state, _ = jax.lax.scan(jax.checkpoint(body), state, xs, reverse=True)
 
     # Camera-frame Stokes extraction (polarized.cpp:846-949)
-    g_cov, g_con = geometry.gcov_gcon(positions[:, 1:4], spin, mass, flat=flat)
     kcon = _kcon_scalar(positions, directions, spin, mass, flat)
     up_con = jnp.concatenate([
         (camera_u_con[0] * camera_vert_con_c[0]
@@ -465,10 +476,21 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     ])
     up_con = jnp.broadcast_to(up_con, (b, 4))
     u_con_b = jnp.broadcast_to(camera_u_con, (b, 4))
+    if flat:
+        f_cam = jnp.zeros_like(positions[:, 0])
+        l_cam = (f_cam, f_cam, f_cam)
+    else:
+        _, f_cam, l_cam_v = geometry.ks_scalars(positions[:, 1:4], spin, mass)
+        l_cam = (l_cam_v[:, 0], l_cam_v[:, 1], l_cam_v[:, 2])
     u_cov_b = jnp.broadcast_to(camera_u_cov, (b, 4))
-    tet = tetrad_cks(u_con_b, u_cov_b, kcon, directions, up_con, g_cov, g_con)
-    e1_cov = jnp.einsum("Bn,Bnm->Bm", tet[:, 1, :], g_cov)
-    e2_cov = jnp.einsum("Bn,Bnm->Bm", tet[:, 2, :], g_cov)
+    _, _, e1c_cam, e2c_cam = tetrad_rows_c(
+        tuple(u_con_b[:, m] for m in range(4)),
+        tuple(kcon[:, m] for m in range(4)),
+        tuple(directions[:, m] for m in range(4)),
+        tuple(up_con[:, m] for m in range(4)), f_cam, l_cam,
+        ucov=tuple(u_cov_b[:, m] for m in range(4)))
+    e1_cov = jnp.stack(e1c_cam, axis=-1)
+    e2_cov = jnp.stack(e2c_cam, axis=-1)
 
     def _exf(x):
         if f == 1:

@@ -125,3 +125,25 @@ def test_polarized_multifrequency_consistency(fixtures_dir):
             np.testing.assert_allclose(
                 np.asarray(img_m[k])[:, fi], np.asarray(img_s[k])[:, 0],
                 rtol=1e-9, atol=1e-12 * i_scale, err_msg=f"{k} freq {fi}")
+
+
+def test_polarized_chunked_dispatch_matches(fixtures_dir, monkeypatch):
+    """Large polarized bundles are chunked along the pixel axis (the path
+    materializes (S, B, 4) samples); chunked and single-call results agree
+    to executable-variant rounding."""
+    import blacklight_tpu.pipeline_simulation as ps
+
+    common = dict(camera_resolution=16, ray_max_steps=600)
+    monkeypatch.setattr(ps, "POLARIZED_CHUNK", 64)
+    cfg_c, img_c = render(fixtures_dir, "golden_polarized_rk4_32.input",
+                          **common)
+    monkeypatch.setattr(ps, "POLARIZED_CHUNK", 1 << 30)
+    cfg_f, img_f = render(fixtures_dir, "golden_polarized_rk4_32.input",
+                          **common)
+    np.testing.assert_array_equal(img_c["_flags"], img_f["_flags"])
+    for k in ("I_nu", "Q_nu", "U_nu", "V_nu"):
+        a, b = np.asarray(img_c[k]), np.asarray(img_f[k])
+        scale = np.nanmax(np.abs(np.asarray(img_f["I_nu"])))
+        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                                   rtol=1e-7, atol=1e-9 * scale,
+                                   err_msg=k)
