@@ -169,9 +169,13 @@ def load_athenak(path: str, kappa_name=None, dtype=jnp.float64,
     from blacklight_tpu import native
     native.scale_slice(prim, ind["pgas"], gamma - 1.0)
 
+    # AMR metadata for exact interblock sampling (grid/amr.py). CKS grids
+    # have no periodic phi, so n3_root stays unused (FindNearbyInds'
+    # periodic branch is SKS-only, simulation_sampling.cpp:1183-1211).
     return SimulationGrid(
         prim=jnp.asarray(prim),
         x1f=jnp.asarray(x1f, dtype=dtype), x1v=jnp.asarray(x1v, dtype=dtype),
         x2f=jnp.asarray(x2f, dtype=dtype), x2v=jnp.asarray(x2v, dtype=dtype),
         x3f=jnp.asarray(x3f, dtype=dtype), x3v=jnp.asarray(x3v, dtype=dtype),
-        ind=ind, time=time, coords="cks")
+        ind=ind, time=time, coords="cks",
+        levels=levels, locations=locations.astype(np.int64))

@@ -94,3 +94,88 @@ def test_amr_sampler_matches_host_transcription(amr_grid):
         assert np.isclose(hv, rho_dev[s], rtol=1e-6, atol=1e-30), \
             (s, hv, rho_dev[s], info)
     assert checked > n // 2
+
+
+def test_amr_cks_grid_matches_host_transcription():
+    """The neighbor-table machinery also covers CKS (AthenaK-style) grids:
+    no phi periodicity, containment by Cartesian face bounds. Checked
+    against the host transcription on a synthetic two-level block layout
+    built in memory."""
+    import jax.numpy as jnp
+
+    from blacklight_tpu.grid.amr import with_amr_table
+    from blacklight_tpu.grid.athena import SimulationGrid
+    from blacklight_tpu.grid.sampling import SamplerOptions, sample_grid
+    from helpers_amr_host import sample_point
+
+    rng = np.random.default_rng(11)
+    nb_cells = 8
+    # Root domain [-1,1]^3 as 2x2x2 blocks of 8^3 cells; refine block
+    # (0,0,0) into its 8 children.
+    blocks = []
+    for lk in range(2):
+        for lj in range(2):
+            for li in range(2):
+                if (li, lj, lk) == (0, 0, 0):
+                    continue
+                blocks.append((0, li, lj, lk))
+    for ck in range(2):
+        for cj in range(2):
+            for ci in range(2):
+                blocks.append((1, ci, cj, ck))
+    n_b = len(blocks)
+    x1f = np.zeros((n_b, nb_cells + 1))
+    x2f = np.zeros((n_b, nb_cells + 1))
+    x3f = np.zeros((n_b, nb_cells + 1))
+    prim = rng.random((8, n_b, nb_cells, nb_cells, nb_cells)).astype(
+        np.float32)
+    levels = np.zeros(n_b, np.int32)
+    locs = np.zeros((n_b, 3), np.int64)
+    for bi, (lev, li, lj, lk) in enumerate(blocks):
+        size = 1.0 / (1 << lev)          # block half-width fraction
+        for arr, loc in ((x1f, li), (x2f, lj), (x3f, lk)):
+            lo = -1.0 + 2.0 * size * loc
+            arr[bi] = np.linspace(lo, lo + 2.0 * size, nb_cells + 1)
+        levels[bi] = lev
+        locs[bi] = (li, lj, lk)
+
+    def centers(f):
+        return 0.5 * (f[:, :-1] + f[:, 1:])
+
+    grid = SimulationGrid(
+        prim=jnp.asarray(prim),
+        x1f=jnp.asarray(x1f), x1v=jnp.asarray(centers(x1f)),
+        x2f=jnp.asarray(x2f), x2v=jnp.asarray(centers(x2f)),
+        x3f=jnp.asarray(x3f), x3v=jnp.asarray(centers(x3f)),
+        ind={"rho": 0, "pgas": 1, "uu1": 2, "uu2": 3, "uu3": 4,
+             "bb1": 5, "bb2": 6, "bb3": 7},
+        time=0.0, coords="cks", levels=levels, locations=locs, n3_root=16)
+    grid = with_amr_table(grid)
+    assert grid.amr_table is not None
+
+    n = 800
+    pts = rng.uniform(-0.99, 0.99, (n, 3))
+    pos = np.concatenate([np.zeros((n, 1)), pts], axis=1)
+    opts = SamplerOptions(interp=True, block_interp=True, fallback_nan=True)
+    out = sample_grid(grid, jnp.asarray(pos), 0.0, opts)
+    rho_dev = np.asarray(out["rho"])
+
+    grid_np = dict(
+        x1f=x1f, x2f=x2f, x3f=x3f,
+        x1v=centers(x1f), x2v=centers(x2f), x3v=centers(x3f),
+        prim=prim.astype(np.float64),
+        levels=[int(v) for v in levels],
+        locs=[tuple(int(v) for v in row) for row in locs])
+    checked = 0
+    for s in range(n):
+        res = sample_point(grid_np, pts[s, 0], pts[s, 1], pts[s, 2],
+                           False, grid.n3_root)
+        if res is None:
+            assert out["off_grid"][s]
+            continue
+        vals, info = res
+        checked += 1
+        hv = np.float64(np.float32(vals[0]))
+        assert np.isclose(hv, rho_dev[s], rtol=1e-6), (s, hv, rho_dev[s],
+                                                       info)
+    assert checked > n // 2
