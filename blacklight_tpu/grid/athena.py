@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,6 +91,44 @@ class SimulationGrid:
     @property
     def n_blocks(self):
         return self.prim.shape[1]
+
+
+def _grid_flatten(g: "SimulationGrid"):
+    children = (g.prim, g.x1f, g.x1v, g.x2f, g.x2v, g.x3f, g.x3v,
+                g.sks_map, g.times, g.prim_packed, g.prim_local,
+                g.amr_table, g.loc_parity, g.k_shard_start,
+                g.levels, g.locations)
+    aux = (tuple(sorted(g.ind.items())), g.time, g.coords,
+           g.map_r_in, g.map_dr, g.map_dtheta, g.bounds, g.n3_root,
+           g.k_shard_size, g.psum_axis)
+    return children, aux
+
+
+def _grid_unflatten(aux, children):
+    (ind_items, time, coords, map_r_in, map_dr, map_dtheta, bounds,
+     n3_root, k_shard_size, psum_axis) = aux
+    (prim, x1f, x1v, x2f, x2v, x3f, x3v, sks_map, times, prim_packed,
+     prim_local, amr_table, loc_parity, k_shard_start, levels,
+     locations) = children
+    return SimulationGrid(
+        prim=prim, x1f=x1f, x1v=x1v, x2f=x2f, x2v=x2v, x3f=x3f, x3v=x3v,
+        ind=dict(ind_items), time=time, coords=coords, sks_map=sks_map,
+        map_r_in=map_r_in, map_dr=map_dr, map_dtheta=map_dtheta,
+        bounds=bounds, times=times, prim_packed=prim_packed,
+        prim_local=prim_local, levels=levels, locations=locations,
+        n3_root=n3_root, amr_table=amr_table, loc_parity=loc_parity,
+        k_shard_start=k_shard_start, k_shard_size=k_shard_size,
+        psum_axis=psum_axis)
+
+
+# SimulationGrid is a jax pytree: the big device arrays (primitive tables,
+# coordinates, AMR/neighbor tables) are CHILDREN so a jitted renderer can
+# take the grid as an ARGUMENT instead of closure-capturing it - closure
+# capture embeds the snapshot (up to GBs with the packed table) as an HLO
+# constant, which bloats executables and overflows remote-compile request
+# limits. Host-only metadata rides in aux_data.
+jax.tree_util.register_pytree_node(SimulationGrid, _grid_flatten,
+                                   _grid_unflatten)
 
 
 def with_packed_corners(grid: SimulationGrid,

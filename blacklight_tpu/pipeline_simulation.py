@@ -267,12 +267,15 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
     # One jit per (stored-kind) variant: momentum factors and stored
     # samples are traced arguments so repeated pixel bundles of one shape
     # share the executable (tile dispatch would otherwise recompile)
+    # The grid rides through jit as a pytree ARGUMENT (see
+    # grid/athena.py pytree registration): closure capture would embed
+    # the snapshot - up to GBs with the packed table - as HLO constants.
     @functools.lru_cache(maxsize=6)
     def fused_for(has_stored, has_prims):
         def fused(positions, directions, momentum_factors, stored,
-                  stored_prims):
+                  stored_prims, grid_arg):
             coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
-                cfg, grid, geom, frequencies, momentum_factors,
+                cfg, grid_arg, geom, frequencies, momentum_factors,
                 polarized=polarized, snapshot_time=snapshot_time)
             image = {}
             if any_image:
@@ -319,20 +322,20 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
         if has_stored and has_prims:
             return jax.jit(fused)
         if has_stored:
-            return jax.jit(lambda p, d, m, s: fused(p, d, m, s, None))
-        return jax.jit(lambda p, d, m: fused(p, d, m, None, None))
+            return jax.jit(lambda p, d, m, s, g: fused(p, d, m, s, None, g))
+        return jax.jit(lambda p, d, m, g: fused(p, d, m, None, None, g))
 
     def _render_one(positions, directions, momentum_factors,
                     stored, stored_prims):
         if stored_prims is not None:
             return fused_for(True, True)(positions, directions,
                                          momentum_factors, stored,
-                                         stored_prims)
+                                         stored_prims, grid)
         if stored is not None:
             return fused_for(True, False)(positions, directions,
-                                          momentum_factors, stored)
+                                          momentum_factors, stored, grid)
         return fused_for(False, False)(positions, directions,
-                                       momentum_factors)
+                                       momentum_factors, grid)
 
     def render_fn(positions, directions, momentum_factors,
                   stored=None, stored_prims=None):
