@@ -146,8 +146,10 @@ def main() -> None:
               and np.mean(np.nan_to_num(rel) > 1e-3) < 5e-3
               and flux_rel < 1e-3)
         if ok:
+            # Remote-chip throughput wobbles run to run (tunnel/host
+            # contention); take the best of several repeats
             times = []
-            for _ in range(2):
+            for _ in range(4):
                 t0 = time.perf_counter()
                 I_pal, _, _ = run_pal(P, D, M)
                 jax.block_until_ready(I_pal)
