@@ -138,3 +138,13 @@ def test_gradients_wrt_emission_params(fixtures_dir):
     assert np.isfinite(flux) and flux > 0.0
     # Linear in cn0 (formula_a = 0, no absorption): grad * cn0 == flux
     np.testing.assert_allclose(g * c0, flux, rtol=1e-10)
+
+
+def test_formula_rk2_exact_parity(fixtures_dir):
+    """The rk2 (Heun) integrator reproduces the reference rk2 image to
+    float64 accumulation accuracy (geodesics.cpp:626-795 semantics:
+    half-step sample, fixed h)."""
+    cfg, image = render(fixtures_dir, "golden_formula_rk2_32.input")
+    I = image["I_nu"][:, 0].reshape(32, 32)
+    gold = np.load(fixtures_dir / "golden_formula_rk2_32.npz")["I_nu"]
+    np.testing.assert_allclose(I, gold, rtol=1e-7)
