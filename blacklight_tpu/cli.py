@@ -34,6 +34,9 @@ def main(argv=None) -> int:
         if (cfg.precision or "float64") == "float64":
             jax.config.update("jax_enable_x64", True)
 
+        from blacklight_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
+
         from blacklight_tpu import pipeline
         from blacklight_tpu.constants import ModelType
 

@@ -24,7 +24,13 @@ import jax.numpy as jnp
 
 from blacklight_tpu.grid.athena import SimulationGrid
 from blacklight_tpu.ops import sks
-from blacklight_tpu.utils.errors import BlacklightError
+
+
+# Corner order (dk, dj, di) matching the reference's 8-term trilinear sum
+# (InterpolateSimple, simulation_sampling.cpp:1334-1351): mmm, mmp, mpm,
+# mpp, pmm, pmp, ppm, ppp with letters ordered (k, j, i).
+_CORNER_ORDER = ((0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+                 (1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,36 +195,54 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
     j_m = jnp.clip(j_m, 0, n_j - 2)
     k_m = jnp.clip(k_m, 0, n_k - 2)
 
-    def flat_index(kk, jj, ii):
-        return ((b * n_k + kk) * n_j + jj) * n_i + ii
-
-    if slow:
-        prim_flat = grid.prim.reshape(n_t, nvar, -1)
-
-        def corner(kk, jj, ii):
-            fi = flat_index(kk, jj, ii)
-            if opts.slow_interp:
-                v0 = prim_flat[t_lo, :, fi]        # (B, nvar)
-                v1 = prim_flat[t_lo + 1, :, fi]
-                v = (1.0 - t_frac)[:, None] * v0 + t_frac[:, None] * v1
-            else:
-                v = prim_flat[t_lo, :, fi]
-            return v.T                             # (nvar, B)
-    else:
-        prim_flat = grid.prim.reshape(nvar, -1)
-
-        def corner(kk, jj, ii):
-            return prim_flat[:, flat_index(kk, jj, ii)]  # (nvar, B)
-
     use_block_interp = (opts.interp and opts.block_interp and n_b > 1
-                        and grid.sks_map is None and not slow)
+                        and grid.sks_map is None)
     sharded = grid.psum_axis is not None
     use_packed = (grid.prim_packed is not None and not slow
                   and not use_block_interp and not sharded)
-    if sharded and (slow or use_block_interp):
-        raise BlacklightError(
-            "Spatially sharded grids do not support slow light or "
-            "interblock interpolation.")
+
+    # --- Universal one-time-slice cell fetch ---------------------------
+    # Every spatial path below (plain corners, exact/approximate
+    # interblock, sharded masked-gather) reduces to fetches of
+    # (block, k, j, i) cells from ONE time slice; slow light then runs the
+    # spatial interpolation per slice and lerps the RESULTS, exactly the
+    # reference's ordering (positivity repair per slice before the
+    # temporal interpolation, simulation_sampling.cpp:736-792, 821-859,
+    # 962-1036).
+    if sharded:
+        prim_loc = grid.prim_local
+
+        def make_fetch(t_idx):
+            def fetch(bb, kk, jj, ii):
+                kloc = jnp.clip(kk - grid.k_shard_start, 0,
+                                grid.k_shard_size - 1)
+                fi = ((bb * grid.k_shard_size + kloc) * n_j + jj) * n_i + ii
+                own = ((kk >= grid.k_shard_start)
+                       & (kk < grid.k_shard_start + grid.k_shard_size))
+                if t_idx is None:
+                    v = prim_loc[:, fi]                  # (nvar, B)
+                else:
+                    v = prim_loc[t_idx, :, fi].T         # (nvar, B)
+                v = jnp.where(own[None, :], v, 0.0)
+                return jax.lax.psum(v, grid.psum_axis)
+            return fetch
+    elif slow:
+        prim_flat3 = grid.prim.reshape(n_t, nvar, -1)
+
+        def make_fetch(t_idx):
+            def fetch(bb, kk, jj, ii):
+                fi = ((bb * n_k + kk) * n_j + jj) * n_i + ii
+                return prim_flat3[t_idx, :, fi].T        # (nvar, B)
+            return fetch
+    else:
+        prim_flat2 = grid.prim.reshape(nvar, -1)
+
+        def make_fetch(t_idx):
+            def fetch(bb, kk, jj, ii):
+                fi = ((bb * n_k + kk) * n_j + jj) * n_i + ii
+                return prim_flat2[:, fi]                 # (nvar, B)
+            return fetch
+
     if use_packed:
         # Fast path: ONE column gather from the corner-packed table
         # (athena.with_packed_corners) fetches all 8 corners of all
@@ -251,45 +275,6 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
         else:
             flat = ((b * n_k + k) * n_j + j) * n_i + i
             vals = packed[:nvar, :][:, flat]
-            anchor = vals
-    elif sharded:
-        # Sharded path: per-var masked gathers from this device's k-slab
-        # with one psum per corner over the 'grid' mesh axis - exactly one
-        # shard owns each corner, so the reduction adds structural zeros
-        # and reconstructs the replicated gather exactly. (No packed table
-        # here: sharding exists for snapshots too big to replicate, so the
-        # 8x packed footprint would defeat it.)
-        prim_loc = grid.prim_local
-
-        def corner(kk, jj, ii):
-            kloc = jnp.clip(kk - grid.k_shard_start, 0,
-                            grid.k_shard_size - 1)
-            fi = ((b * grid.k_shard_size + kloc) * n_j + jj) * n_i + ii
-            own = ((kk >= grid.k_shard_start)
-                   & (kk < grid.k_shard_start + grid.k_shard_size))
-            v = jnp.where(own[None, :], prim_loc[:, fi], 0.0)
-            return jax.lax.psum(v, grid.psum_axis)
-
-        if opts.interp:
-            c_mmm = corner(k_m, j_m, i_m)
-            c_mmp = corner(k_m, j_m, i_m + 1)
-            c_mpm = corner(k_m, j_m + 1, i_m)
-            c_mpp = corner(k_m, j_m + 1, i_m + 1)
-            c_pmm = corner(k_m + 1, j_m, i_m)
-            c_pmp = corner(k_m + 1, j_m, i_m + 1)
-            c_ppm = corner(k_m + 1, j_m + 1, i_m)
-            c_ppp = corner(k_m + 1, j_m + 1, i_m + 1)
-            vals = ((1 - f_k) * (1 - f_j) * (1 - f_i) * c_mmm
-                    + (1 - f_k) * (1 - f_j) * f_i * c_mmp
-                    + (1 - f_k) * f_j * (1 - f_i) * c_mpm
-                    + (1 - f_k) * f_j * f_i * c_mpp
-                    + f_k * (1 - f_j) * (1 - f_i) * c_pmm
-                    + f_k * (1 - f_j) * f_i * c_pmp
-                    + f_k * f_j * (1 - f_i) * c_ppm
-                    + f_k * f_j * f_i * c_ppp)
-            anchor = c_mmm
-        else:
-            vals = corner(k, j, i)
             anchor = vals
     elif use_block_interp and grid.amr_table is not None:
         # EXACT cross-block trilinear interpolation (the reference's
@@ -392,26 +377,10 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
             ii = axis_idx(0, cki, u_i, n_i, i, r, xv_i)
             jj = axis_idx(1, ckj, u_j, n_j, j, th, xv_j)
             kk = axis_idx(2, ckk, u_k, n_k, k, ph, xv_k)
-            flat = ((b_alt * n_k + kk) * n_j + jj) * n_i + ii
-            return prim_flat[:, flat]
+            return b_alt, kk, jj, ii
 
-        c_mmm = corner_amr(0, 0, 0)
-        c_mmp = corner_amr(0, 0, 1)
-        c_mpm = corner_amr(0, 1, 0)
-        c_mpp = corner_amr(0, 1, 1)
-        c_pmm = corner_amr(1, 0, 0)
-        c_pmp = corner_amr(1, 0, 1)
-        c_ppm = corner_amr(1, 1, 0)
-        c_ppp = corner_amr(1, 1, 1)
-        vals = ((1 - f_k) * (1 - f_j) * (1 - f_i) * c_mmm
-                + (1 - f_k) * (1 - f_j) * f_i * c_mmp
-                + (1 - f_k) * f_j * (1 - f_i) * c_mpm
-                + (1 - f_k) * f_j * f_i * c_mpp
-                + f_k * (1 - f_j) * (1 - f_i) * c_pmm
-                + f_k * (1 - f_j) * f_i * c_pmp
-                + f_k * f_j * (1 - f_i) * c_ppm
-                + f_k * f_j * f_i * c_ppp)
-        anchor = c_mmm
+        corner_idx = [corner_amr(dk, dj, di)
+                      for dk, dj, di in _CORNER_ORDER]
     elif use_block_interp:
         # Approximate cross-block trilinear interpolation (fallback when no
         # AMR metadata is available to build the exact neighbor table):
@@ -466,69 +435,80 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
             ii = near(grid.x1f, c1, n_i)
             jj = near(grid.x2f, c2, n_j)
             kk = near(grid.x3f, c3, n_k)
-            return ((bb * n_k + kk) * n_j + jj) * n_i + ii, found
+            return (bb, kk, jj, ii), found
 
         def corner_x(dk, dj, di):
             c1 = hi1 if di else lo1
             c2 = hi2 if dj else lo2
             c3 = hi3 if dk else lo3
-            flat, found = locate_nearest(c1, c2, c3)
-            flat_in = flat_index(k_m + dk, j_m + dj, i_m + di)
-            flat = jnp.where(found, flat, flat_in)
-            return prim_flat[:, flat]
+            (bb, kk, jj, ii), found = locate_nearest(c1, c2, c3)
+            bb = jnp.where(found, bb, b)
+            kk = jnp.where(found, kk, k_m + dk)
+            jj = jnp.where(found, jj, j_m + dj)
+            ii = jnp.where(found, ii, i_m + di)
+            return bb, kk, jj, ii
 
-        c_mmm = corner_x(0, 0, 0)
-        c_mmp = corner_x(0, 0, 1)
-        c_mpm = corner_x(0, 1, 0)
-        c_mpp = corner_x(0, 1, 1)
-        c_pmm = corner_x(1, 0, 0)
-        c_pmp = corner_x(1, 0, 1)
-        c_ppm = corner_x(1, 1, 0)
-        c_ppp = corner_x(1, 1, 1)
-        vals = ((1 - f_k) * (1 - f_j) * (1 - f_i) * c_mmm
-                + (1 - f_k) * (1 - f_j) * f_i * c_mmp
-                + (1 - f_k) * f_j * (1 - f_i) * c_mpm
-                + (1 - f_k) * f_j * f_i * c_mpp
-                + f_k * (1 - f_j) * (1 - f_i) * c_pmm
-                + f_k * (1 - f_j) * f_i * c_pmp
-                + f_k * f_j * (1 - f_i) * c_ppm
-                + f_k * f_j * f_i * c_ppp)
-        anchor = c_mmm
+        corner_idx = [corner_x(dk, dj, di)
+                      for dk, dj, di in _CORNER_ORDER]
     elif opts.interp:
-        c_mmm = corner(k_m, j_m, i_m)
-        c_mmp = corner(k_m, j_m, i_m + 1)
-        c_mpm = corner(k_m, j_m + 1, i_m)
-        c_mpp = corner(k_m, j_m + 1, i_m + 1)
-        c_pmm = corner(k_m + 1, j_m, i_m)
-        c_pmp = corner(k_m + 1, j_m, i_m + 1)
-        c_ppm = corner(k_m + 1, j_m + 1, i_m)
-        c_ppp = corner(k_m + 1, j_m + 1, i_m + 1)
-        vals = ((1 - f_k) * (1 - f_j) * (1 - f_i) * c_mmm
-                + (1 - f_k) * (1 - f_j) * f_i * c_mmp
-                + (1 - f_k) * f_j * (1 - f_i) * c_mpm
-                + (1 - f_k) * f_j * f_i * c_mpp
-                + f_k * (1 - f_j) * (1 - f_i) * c_pmm
-                + f_k * (1 - f_j) * f_i * c_pmp
-                + f_k * f_j * (1 - f_i) * c_ppm
-                + f_k * f_j * f_i * c_ppp)
-        anchor = c_mmm
+        corner_idx = [(b, k_m + dk, j_m + dj, i_m + di)
+                      for dk, dj, di in _CORNER_ORDER]
     else:
-        vals = corner(k, j, i)
-        anchor = vals
+        corner_idx = [(b, k, j, i)]
 
     ind = grid.ind
-    out = {}
     names = ["rho", "pgas", "uu1", "uu2", "uu3", "bb1", "bb2", "bb3"]
     if opts.has_kappa:
         names.append("kappa")
+
+    def assemble(vals_s, anchor_s):
+        """Named values for one time slice with the positivity repair
+        applied against the anchor cell (simulation_sampling.cpp:821-827;
+        per slice BEFORE temporal interpolation, :736-792)."""
+        named_s = {}
+        for name in names:
+            v = vals_s[ind[name]]
+            if opts.interp and name in ("rho", "pgas", "kappa"):
+                v = jnp.where(v <= 0.0, anchor_s[ind[name]], v)
+            named_s[name] = v
+        return named_s
+
+    if use_packed:
+        named = assemble(vals, anchor)
+    else:
+        def sample_slice(fetch):
+            cs = [fetch(*ci) for ci in corner_idx]
+            if len(cs) == 1:
+                return assemble(cs[0], cs[0])
+            # Same 8-term weighting order as the reference
+            # (InterpolateSimple, simulation_sampling.cpp:1334-1351)
+            w = [(1 - f_k) * (1 - f_j) * (1 - f_i),
+                 (1 - f_k) * (1 - f_j) * f_i,
+                 (1 - f_k) * f_j * (1 - f_i),
+                 (1 - f_k) * f_j * f_i,
+                 f_k * (1 - f_j) * (1 - f_i),
+                 f_k * (1 - f_j) * f_i,
+                 f_k * f_j * (1 - f_i),
+                 f_k * f_j * f_i]
+            vals_s = sum(wi * ci for wi, ci in zip(w, cs))
+            return assemble(vals_s, cs[0])
+
+        if slow and opts.slow_interp:
+            d0 = sample_slice(make_fetch(t_lo))
+            d1 = sample_slice(make_fetch(t_lo + 1))
+            named = {nm: (1.0 - t_frac) * d0[nm] + t_frac * d1[nm]
+                     for nm in d0}
+        elif slow:
+            named = sample_slice(make_fetch(t_lo))
+        else:
+            named = sample_slice(make_fetch(None))
+
+    out = {}
     for name in names:
-        v = vals[ind[name]]
-        if opts.interp and name in ("rho", "pgas", "kappa"):
-            v = jnp.where(v <= 0.0, anchor[ind[name]], v)
         # The reference stores sampled values as float32 before the (double)
         # coefficient math (SampleSimulation casts, simulation_sampling.cpp:
         # 836-844) - round-trip for parity.
-        out[name] = v.astype(jnp.float32).astype(pos.dtype)
+        out[name] = named[name].astype(jnp.float32).astype(pos.dtype)
 
     # Off-grid fallback (simulation_sampling.cpp:376-384, 676-707).
     # With fallback_nan the reference stores NaN; here values stay FINITE

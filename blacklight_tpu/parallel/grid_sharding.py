@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from blacklight_tpu.utils.errors import BlacklightError
 
@@ -55,28 +55,39 @@ def split_prim_cells(grid, grid_shards: int):
     """Split the var-major primitive table into per-shard phi(k) slabs.
 
     Returns (slabbed, k_per_shard): slabbed has shape
-    (grid_shards, nvar, n_b * k_per * n_j * n_i), one leading slab per
-    shard (sharding keeps the 1x var-major layout - it exists for
-    snapshots too big to replicate, so no 8x corner packing here).
+    (grid_shards, [n_t,] nvar, n_b * k_per * n_j * n_i), one leading slab
+    per shard (sharding keeps the 1x var-major layout - it exists for
+    snapshots too big to replicate, so no 8x corner packing here). A
+    slow-light window keeps its leading time axis per slab.
     """
     nvar, n_b, n_k, n_j, n_i = grid.prim.shape[-5:]
+    lead = grid.prim.shape[:-5]          # () or (n_t,)
     if n_k % grid_shards:
         raise BlacklightError(
             f"Grid phi planes ({n_k}) must divide by grid shards "
             f"({grid_shards}).")
     k_per = n_k // grid_shards
-    # (nvar, n_b, G, k_per, n_j, n_i) -> (G, nvar, n_b*k_per*n_j*n_i)
+    # (..., nvar, n_b, G, k_per, n_j, n_i) -> (G, ..., nvar, cells)
+    nd = len(lead)
     slabbed = jnp.moveaxis(
-        grid.prim.reshape(nvar, n_b, grid_shards, k_per, n_j, n_i), 2, 0
-    ).reshape(grid_shards, nvar, n_b * k_per * n_j * n_i)
+        grid.prim.reshape(lead + (nvar, n_b, grid_shards, k_per, n_j, n_i)),
+        nd + 2, 0
+    ).reshape((grid_shards,) + lead + (nvar, n_b * k_per * n_j * n_i))
     return slabbed, k_per
 
 
 def make_sharded_renderer(cfg, grid, geom, frequencies, mesh: Mesh,
                           mass_msun: float, params, opts,
-                          snapshot_time: float = 0.0):
-    """Unpolarized simulation renderer with the grid sharded over the
-    mesh's 'grid' axis and rays over 'rays'.
+                          snapshot_time: float = 0.0,
+                          polarized: bool = False):
+    """Simulation renderer with the grid sharded over the mesh's 'grid'
+    axis and rays over 'rays'.
+
+    Supports the full sampler feature matrix: unpolarized or full-Stokes
+    IQUV (polarized=True), slow-light windows (grid.times set), and
+    interblock AMR interpolation (grid.amr_table set) - sampling is the
+    only grid-touching op, so the per-corner masked-gather + psum trick
+    applies unchanged under every renderer.
 
     Returns render(positions, directions, momentum_factors) -> image dict
     (host arrays). The ray count must divide by the 'rays' axis size.
@@ -89,7 +100,7 @@ def make_sharded_renderer(cfg, grid, geom, frequencies, mesh: Mesh,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("rays"), P("rays"), P("rays"), P("grid")),
-             out_specs=P("rays"), check_rep=False)
+             out_specs=P("rays"), check_vma=False)
     def run(positions, directions, momentum_factors, prim_slab):
         k0 = jax.lax.axis_index("grid") * k_per
         grid_local = dataclasses.replace(
@@ -97,7 +108,16 @@ def make_sharded_renderer(cfg, grid, geom, frequencies, mesh: Mesh,
             k_shard_start=k0, k_shard_size=k_per, psum_axis="grid")
         coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
             cfg, grid_local, geom, frequencies, momentum_factors,
-            snapshot_time=snapshot_time)
+            polarized=polarized, snapshot_time=snapshot_time)
+        if polarized:
+            from blacklight_tpu.transfer.polarized import integrate_polarized
+            return integrate_polarized(
+                positions, directions, momentum_factors, frequencies,
+                params=params, coeff_fn=coeff_fn, opts=opts,
+                mass_msun=mass_msun, camera_x=geom.cam_x,
+                camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
+                camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale,
+                rotation_split=bool(cfg.require("image_rotation_split")))
         return integrate_unpolarized(
             positions, directions, momentum_factors, frequencies,
             params=params, coeff_fn=coeff_fn, opts=opts,

@@ -237,11 +237,18 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
     dtype = pipeline.compute_dtype(cfg)
     bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
     grid, snapshot_time = load_grid(cfg, snapshot=snapshot, dtype=dtype)
-    from blacklight_tpu.grid.athena import with_packed_corners
-    grid = with_packed_corners(grid)
-    if bool(cfg.simulation_block_interp) and cfg.require("simulation_interp"):
+    use_block_interp = (bool(cfg.simulation_block_interp)
+                        and cfg.require("simulation_interp"))
+    if use_block_interp:
         from blacklight_tpu.grid.amr import with_amr_table
         grid = with_amr_table(grid)
+    elif grid.times is None:
+        # The packed-corner table is only consumed on the replicated,
+        # non-slow-light, clamped-to-block sampling path
+        # (grid/sampling.py use_packed); skip its 8x HBM footprint when
+        # block interpolation or slow light routes around it.
+        from blacklight_tpu.grid.athena import with_packed_corners
+        grid = with_packed_corners(grid)
     geom, rays, frequencies = make_camera(cfg, bh_m=bh_m, bh_a=bh_a, dtype=dtype)
     params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
     opts = ImageOptions.from_config(cfg)

@@ -27,6 +27,9 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from blacklight_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     root = pathlib.Path(__file__).resolve().parents[1]
     n_r, n_th, n_ph = 128, 64, 64
     mock = f"/tmp/bench_mock_{n_r}x{n_th}x{n_ph}.athdf"

@@ -186,10 +186,16 @@ def write_athena(path, fields, p, kappa=False, phi_blocks=1):
         f.attrs.create("MeshBlockSize", (n_r, n_th, npb), dtype=np.int32)
         f.attrs.create("MaxLevel", 0, dtype=np.int32)
         f.attrs.create("NumVariables", [len(prim_names), 3], dtype=np.int32)
-        f.attrs.create("DatasetNames", [np.bytes_("prim"), np.bytes_("B")])
+        # NUL-padded fixed-width strings (|S21, matching real Athena++
+        # output): the reference reader's std::string conversion relies on
+        # a terminator inside the fixed-width field
+        # (hdf5_format_arrays.cpp:217-222 copies `size` bytes and assigns
+        # via char*) - numpy's minimal |S4 would leave "prim" unterminated.
+        f.attrs.create("DatasetNames", [np.bytes_("prim"), np.bytes_("B")],
+                       dtype="S21")
         f.attrs.create("VariableNames", [
             np.bytes_(s) for s in
-            prim_names + ["Bcc1", "Bcc2", "Bcc3"]])
+            prim_names + ["Bcc1", "Bcc2", "Bcc3"]], dtype="S21")
         f.create_dataset("Levels", data=np.zeros(nb, dtype=np.int32))
         locs = np.zeros((nb, 3), dtype=np.int64)
         locs[:, 2] = np.arange(nb)
@@ -332,9 +338,12 @@ def write_athena_amr(path, p, kappa=False, block_size=(16, 8, 4),
         f.attrs.create("MeshBlockSize", (nbr, nbt, nbp), dtype=np.int32)
         f.attrs.create("MaxLevel", 1, dtype=np.int32)
         f.attrs.create("NumVariables", [len(prim_names), 3], dtype=np.int32)
-        f.attrs.create("DatasetNames", [np.bytes_("prim"), np.bytes_("B")])
+        # NUL-padded |S21 strings (see write_athena)
+        f.attrs.create("DatasetNames", [np.bytes_("prim"), np.bytes_("B")],
+                       dtype="S21")
         f.attrs.create("VariableNames", [
-            np.bytes_(s) for s in prim_names + ["Bcc1", "Bcc2", "Bcc3"]])
+            np.bytes_(s) for s in prim_names + ["Bcc1", "Bcc2", "Bcc3"]],
+            dtype="S21")
         f.create_dataset("Levels", data=levels)
         f.create_dataset("LogicalLocations", data=locs)
         f.create_dataset("x1f", data=x1f.astype(np.float32))

@@ -26,6 +26,26 @@ jax.config.update("jax_enable_x64", True)
 
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
+# Modules dominated by golden end-to-end renders or subprocess spawns
+# (the release gate); `-m "not slow"` runs the fast unit suite.
+SLOW_MODULES = {
+    "test_adaptive",
+    "test_amr",
+    "test_formula_e2e",
+    "test_multiprocess",
+    "test_polarized_e2e",
+    "test_reference_goldens",
+    "test_render_truecolor",
+    "test_simulation_e2e",
+    "test_slowlight",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def fixtures_dir():

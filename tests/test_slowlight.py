@@ -118,6 +118,77 @@ def test_slow_light_extrapolation_error(tmp_path):
                      snapshot=0, quiet=True)
 
 
+def test_slow_light_amr_golden_vs_reference(tmp_path):
+    """Slow light x interblock AMR interpolation: per-slice spatial
+    interpolation through the cross-level neighbor table, then temporal
+    lerp (simulation_sampling.cpp:923-1044 InterpolateAdvanced time
+    branches). Series written by write_athena_amr with time-scaled
+    rho/pgas.
+
+    KNOWN REFERENCE DEVIATION: the reference's SampleSimulation reads the
+    slow-light slice index with a 3-index accessor on the 4D
+    corner-indexed array - `sample_inds(m,n,4)` at
+    simulation_sampling.cpp:916 computes data[4 + 5*(n + 8*m)]
+    (utils/array.cpp:317-325) while t_ind lives at (m,n,corner,4) =
+    data[4 + 5*(corner + 8*(n + S*m))] - so its AMR time index belongs to
+    a DIFFERENT (pixel, step). We implement the per-sample semantics the
+    prep stores (:543-545). With slow_interp the (correctly read) t_frac
+    limits the damage to the few samples whose misread slice differs:
+    parity is exact (~1e-14) on 98% of pixels and within ~1% on the rest."""
+    import pathlib
+    fixtures = pathlib.Path(__file__).parent / "fixtures" / "slowamr"
+    from blacklight_tpu import read_config
+    cfg = read_config(str(fixtures / "golden_slowamr.input"))
+    cfg.simulation_file = str(fixtures / "amr.{5d}.athdf")
+    cfg.output_file = str(tmp_path / "slowamr_{d}.npz")
+    for snap in (0, 1):
+        ours = pipeline.run(cfg, snapshot=snap, quiet=True)
+        ref = np.load(fixtures / f"golden_slowamr_{snap}.npz")
+        scale = np.nanmax(np.abs(ref["I_nu"]))
+        rel = np.abs(ours["I_nu"] - ref["I_nu"]) / (np.abs(ref["I_nu"])
+                                                    + scale * 1e-8)
+        assert np.array_equal(np.isnan(ours["I_nu"]), np.isnan(ref["I_nu"]))
+        frac_exact = np.mean(np.nan_to_num(rel) < 1e-8)
+        assert frac_exact > 0.97, (snap, frac_exact)
+        assert np.nanmax(rel) < 0.05, (snap, np.nanmax(rel))
+
+
+def test_slow_light_amr_identical_slices_match_static(tmp_path):
+    """With identical time slices, slow light x AMR (nearest AND
+    interpolated) must reproduce the static interblock render exactly -
+    pins our (correct, per-sample) time indexing against the static
+    sampler the reference golden validates at 1e-8."""
+    import pathlib
+    import shutil
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    import h5py
+    times = [0.0, 400.0, 800.0, 1200.0]
+    for n, t in enumerate(times):
+        dst = tmp_path / f"amr.{n:05d}.athdf"
+        shutil.copy(fixtures / "slowamr" / "amr.00001.athdf", dst)
+        with h5py.File(dst, "r+") as f:
+            f.attrs.modify("Time", np.float32(t))
+
+    from blacklight_tpu import read_config
+    base = read_config(str(fixtures / "slowamr" / "golden_slowamr.input"))
+    base.simulation_file = str(tmp_path / "amr.{5d}.athdf")
+    base.output_file = str(tmp_path / "slow_{d}.npz")
+    images = {}
+    for interp in (True, False):
+        base.slow_interp = interp
+        images[interp] = pipeline.run(base, snapshot=0, quiet=True)
+
+    static = read_config(str(fixtures / "slowamr" / "golden_slowamr.input"))
+    static.simulation_file = str(tmp_path / "amr.00000.athdf")
+    static.simulation_multiple = False
+    static.slow_light_on = False
+    static.output_file = str(tmp_path / "static.npz")
+    img_s = pipeline.run(static, quiet=True)
+    for interp in (True, False):
+        np.testing.assert_allclose(images[interp]["I_nu"], img_s["I_nu"],
+                                   rtol=1e-12)
+
+
 def test_slow_light_golden_vs_reference(tmp_path):
     """Slow-light window + per-sample linear time interpolation match the
     compiled reference binary on a stored time-varying snapshot series
