@@ -87,56 +87,20 @@ def _locate(xf_row, xv_row, x):
     return i, i_m, f
 
 
-def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
-    """Sample primitives at CKS positions.
+def locate_anchor(grid: SimulationGrid, r, th, ph, n_b, n_i, n_j, n_k):
+    """Spatial block/cell location + trilinear anchors for SKS/native
+    coordinates (r, th, ph).
 
-    Args:
-      grid: device grid.
-      pos: (B, 4) CKS sample positions.
-      spin: black-hole spin.
-      opts: sampler options.
+    The containing-cell search of the reference's sampling prep
+    (simulation_sampling.cpp:352-516): block containment, per-axis cell
+    index i, trilinear anchor i_m (backed off by one when the sample is
+    past the cell center, except at block edges) and fraction f (may leave
+    [0, 1] near edges). Shared by the per-step sampler (sample_grid) and
+    the windowed wavefront sampler (grid/wavefront.py).
 
-    Returns:
-      dict of (B,) sampled values keyed rho/pgas/[kappa]/uu1..3/bb1..3,
-      plus "off_grid" (B,) bool. NaN/fallback already applied.
+    Returns (b, (i, j, k), (i_m, j_m, k_m), (f_i, f_j, f_k), off_grid)
+    with i_m/j_m/k_m UNclamped.
     """
-    x, y, z = pos[..., 1], pos[..., 2], pos[..., 3]
-    if grid.coords == "cks":
-        # AthenaK: simulation coordinates ARE CKS; no conversion
-        # (radiation_geometry.cpp:37-41 identity branch)
-        r, th, ph = x, y, z
-    else:
-        r, th, ph = sks.cks_to_sks(x, y, z, spin)
-
-    slow = grid.times is not None
-    if slow:
-        n_t, nvar, n_b, n_k, n_j, n_i = grid.prim.shape
-        # Per-sample time slice selection (simulation_sampling.cpp:297-349):
-        # times decrease with index; idx = first slice at or before x0
-        times = grid.times
-        x0 = pos[..., 0] + opts.snapshot_time
-        # == searchsorted(-times, -x0, "left") without the serialized
-        # TPU binary-search lowering
-        idx = jnp.sum((times > x0[..., None]).astype(jnp.int32), axis=-1)
-        if opts.slow_interp:
-            t_lo = jnp.clip(idx - 1, 0, n_t - 2)
-            t_frac = (x0 - times[t_lo]) / (times[t_lo + 1] - times[t_lo])
-            # Extrapolation clamps (camera side: hold slice 0; source side:
-            # frac = 1 at the oldest pair)
-            t_lo = jnp.where(x0 >= times[0], 0, t_lo)
-            t_frac = jnp.where(x0 >= times[0], 0.0, t_frac)
-            t_lo = jnp.where(x0 <= times[-1], n_t - 2, t_lo)
-            t_frac = jnp.where(x0 <= times[-1], 1.0, t_frac)
-        else:
-            # Nearest slice (simulation_sampling.cpp:343-346)
-            t_sel = jnp.clip(idx, 0, n_t - 1)
-            prev_closer = (times[jnp.maximum(t_sel - 1, 0)] - x0) \
-                <= (x0 - times[t_sel])
-            t_sel = jnp.where((t_sel > 0) & prev_closer, t_sel - 1, t_sel)
-            t_lo, t_frac = t_sel, None
-    else:
-        nvar, n_b, n_k, n_j, n_i = grid.prim.shape
-
     if grid.sks_map is not None:
         # FMKS: off-grid test in SKS via precomputed domain bounds
         # (simulation_sampling.cpp:192-197), then map (r, theta) to native
@@ -188,6 +152,134 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
         i, i_m, f_i = jax.vmap(_locate)(grid.x1f[b], grid.x1v[b], r)
         j, j_m, f_j = jax.vmap(_locate)(grid.x2f[b], grid.x2v[b], th)
         k, k_m, f_k = jax.vmap(_locate)(grid.x3f[b], grid.x3v[b], ph)
+    return b, (i, j, k), (i_m, j_m, k_m), (f_i, f_j, f_k), off_grid
+
+
+def trilinear_weights(f_i, f_j, f_k):
+    """The reference's 8-term corner weighting, in _CORNER_ORDER
+    (InterpolateSimple, simulation_sampling.cpp:1334-1351)."""
+    return [(1 - f_k) * (1 - f_j) * (1 - f_i),
+            (1 - f_k) * (1 - f_j) * f_i,
+            (1 - f_k) * f_j * (1 - f_i),
+            (1 - f_k) * f_j * f_i,
+            f_k * (1 - f_j) * (1 - f_i),
+            f_k * (1 - f_j) * f_i,
+            f_k * f_j * (1 - f_i),
+            f_k * f_j * f_i]
+
+
+def finalize_sample(named, off_grid, opts: SamplerOptions, names, pos_dtype):
+    """Cast round-trip + off-grid fallback shared by every sampling path.
+
+    The reference stores sampled values as float32 before the (double)
+    coefficient math (SampleSimulation casts, simulation_sampling.cpp:
+    836-844) - round-trip for parity. Off-grid fallback per
+    simulation_sampling.cpp:376-384, 676-707: with fallback_nan the
+    reference stores NaN; here values stay FINITE (a NaN primal would
+    poison reverse-mode through every later product) and "nan_mask" tells
+    consumers which samples to NaN-poison in outputs.
+    """
+    out = {}
+    fb = {"rho": opts.fallback_rho,
+          "pgas": opts.fallback_pgas,
+          "kappa": opts.fallback_kappa,
+          "uu1": 0.0, "uu2": 0.0, "uu3": 0.0,
+          "bb1": 0.0, "bb2": 0.0, "bb3": 0.0}
+    for name in names:
+        v = named[name].astype(jnp.float32).astype(pos_dtype)
+        out[name] = jnp.where(off_grid, fb[name], v)
+    out["off_grid"] = off_grid
+    out["nan_mask"] = off_grid if opts.fallback_nan \
+        else jnp.zeros_like(off_grid)
+    return out
+
+
+def sample_names(opts: SamplerOptions):
+    names = ["rho", "pgas", "uu1", "uu2", "uu3", "bb1", "bb2", "bb3"]
+    if opts.has_kappa:
+        names.append("kappa")
+    return names
+
+
+def packed_named(cols, f_i, f_j, f_k, ind, opts: SamplerOptions, names):
+    """Trilinear blend of packed corner columns + positivity repair.
+
+    cols: (8*nvar, B) - all 8 corner values of every variable for each
+    sample's anchor cell, in _CORNER_ORDER blocks (athena.
+    with_packed_corners layout). Returns the named value dict with
+    interpolated rho/pgas/kappa repaired against the anchor (mmm) cell
+    (simulation_sampling.cpp:821-827). Shared by sample_grid's packed
+    branch and the wavefront sampler so their semantics cannot drift.
+    """
+    nvar = cols.shape[0] // 8
+    if opts.interp:
+        w = trilinear_weights(f_i, f_j, f_k)
+        vals = sum(wc * cols[c * nvar:(c + 1) * nvar]
+                   for c, wc in enumerate(w))
+        anchor = cols[:nvar]
+    else:
+        vals = anchor = cols[:nvar]
+    named = {}
+    for name in names:
+        v = vals[ind[name]]
+        if opts.interp and name in ("rho", "pgas", "kappa"):
+            v = jnp.where(v <= 0.0, anchor[ind[name]], v)
+        named[name] = v
+    return named
+
+
+def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
+    """Sample primitives at CKS positions.
+
+    Args:
+      grid: device grid.
+      pos: (B, 4) CKS sample positions.
+      spin: black-hole spin.
+      opts: sampler options.
+
+    Returns:
+      dict of (B,) sampled values keyed rho/pgas/[kappa]/uu1..3/bb1..3,
+      plus "off_grid" (B,) bool. NaN/fallback already applied.
+    """
+    x, y, z = pos[..., 1], pos[..., 2], pos[..., 3]
+    if grid.coords == "cks":
+        # AthenaK: simulation coordinates ARE CKS; no conversion
+        # (radiation_geometry.cpp:37-41 identity branch)
+        r, th, ph = x, y, z
+    else:
+        r, th, ph = sks.cks_to_sks(x, y, z, spin)
+
+    slow = grid.times is not None
+    if slow:
+        n_t, nvar, n_b, n_k, n_j, n_i = grid.prim.shape
+        # Per-sample time slice selection (simulation_sampling.cpp:297-349):
+        # times decrease with index; idx = first slice at or before x0
+        times = grid.times
+        x0 = pos[..., 0] + opts.snapshot_time
+        # == searchsorted(-times, -x0, "left") without the serialized
+        # TPU binary-search lowering
+        idx = jnp.sum((times > x0[..., None]).astype(jnp.int32), axis=-1)
+        if opts.slow_interp:
+            t_lo = jnp.clip(idx - 1, 0, n_t - 2)
+            t_frac = (x0 - times[t_lo]) / (times[t_lo + 1] - times[t_lo])
+            # Extrapolation clamps (camera side: hold slice 0; source side:
+            # frac = 1 at the oldest pair)
+            t_lo = jnp.where(x0 >= times[0], 0, t_lo)
+            t_frac = jnp.where(x0 >= times[0], 0.0, t_frac)
+            t_lo = jnp.where(x0 <= times[-1], n_t - 2, t_lo)
+            t_frac = jnp.where(x0 <= times[-1], 1.0, t_frac)
+        else:
+            # Nearest slice (simulation_sampling.cpp:343-346)
+            t_sel = jnp.clip(idx, 0, n_t - 1)
+            prev_closer = (times[jnp.maximum(t_sel - 1, 0)] - x0) \
+                <= (x0 - times[t_sel])
+            t_sel = jnp.where((t_sel > 0) & prev_closer, t_sel - 1, t_sel)
+            t_lo, t_frac = t_sel, None
+    else:
+        nvar, n_b, n_k, n_j, n_i = grid.prim.shape
+
+    b, (i, j, k), (i_m, j_m, k_m), (f_i, f_j, f_k), off_grid = \
+        locate_anchor(grid, r, th, ph, n_b, n_i, n_j, n_k)
 
     # Clamp anchors so gathers stay in-bounds even for off-grid samples
     # (their values are overwritten below).
@@ -214,11 +306,26 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
 
         def make_fetch(t_idx):
             def fetch(bb, kk, jj, ii):
-                kloc = jnp.clip(kk - grid.k_shard_start, 0,
+                # Canonicalize through the FULL-layout flat index first:
+                # the reference's AMR fine-neighbor formulas emit
+                # out-of-range cell indices (e.g. i_sought == n_i for an
+                # uncrossed midpoint axis, simulation_sampling.cpp:
+                # 1301-1303) and rely on its contiguous Array aliasing the
+                # read into the next row/plane. The replicated flat fetch
+                # reproduces that aliasing automatically; the slab layout
+                # would alias differently, so recover the canonical
+                # (block, k, j, i) the full layout actually reads before
+                # ownership masking.
+                fi_full = ((bb * n_k + kk) * n_j + jj) * n_i + ii
+                fi_full = jnp.clip(fi_full, 0, n_b * n_k * n_j * n_i - 1)
+                cell = fi_full % (n_j * n_i)
+                kf = (fi_full // (n_j * n_i)) % n_k
+                bf = fi_full // (n_k * n_j * n_i)
+                kloc = jnp.clip(kf - grid.k_shard_start, 0,
                                 grid.k_shard_size - 1)
-                fi = ((bb * grid.k_shard_size + kloc) * n_j + jj) * n_i + ii
-                own = ((kk >= grid.k_shard_start)
-                       & (kk < grid.k_shard_start + grid.k_shard_size))
+                fi = ((bf * grid.k_shard_size + kloc) * n_j * n_i) + cell
+                own = ((kf >= grid.k_shard_start)
+                       & (kf < grid.k_shard_start + grid.k_shard_size))
                 if t_idx is None:
                     v = prim_loc[:, fi]                  # (nvar, B)
                 else:
@@ -253,25 +360,10 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
         if opts.interp:
             anchor_flat = ((b * n_k + k_m) * n_j + j_m) * n_i + i_m
             cols = packed[:, anchor_flat]                  # (8*nvar, B)
-            c_mmm = cols[0 * nvar:1 * nvar]
-            c_mmp = cols[1 * nvar:2 * nvar]
-            c_mpm = cols[2 * nvar:3 * nvar]
-            c_mpp = cols[3 * nvar:4 * nvar]
-            c_pmm = cols[4 * nvar:5 * nvar]
-            c_pmp = cols[5 * nvar:6 * nvar]
-            c_ppm = cols[6 * nvar:7 * nvar]
-            c_ppp = cols[7 * nvar:8 * nvar]
-            # Same 8-term weighting order as the reference
-            # (InterpolateSimple, simulation_sampling.cpp:1334-1351)
-            vals = ((1 - f_k) * (1 - f_j) * (1 - f_i) * c_mmm
-                    + (1 - f_k) * (1 - f_j) * f_i * c_mmp
-                    + (1 - f_k) * f_j * (1 - f_i) * c_mpm
-                    + (1 - f_k) * f_j * f_i * c_mpp
-                    + f_k * (1 - f_j) * (1 - f_i) * c_pmm
-                    + f_k * (1 - f_j) * f_i * c_pmp
-                    + f_k * f_j * (1 - f_i) * c_ppm
-                    + f_k * f_j * f_i * c_ppp)
-            anchor = c_mmm
+            w = trilinear_weights(f_i, f_j, f_k)
+            vals = sum(wc * cols[c * nvar:(c + 1) * nvar]
+                       for c, wc in enumerate(w))
+            anchor = cols[:nvar]
         else:
             flat = ((b * n_k + k) * n_j + j) * n_i + i
             vals = packed[:nvar, :][:, flat]
@@ -457,9 +549,7 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
         corner_idx = [(b, k, j, i)]
 
     ind = grid.ind
-    names = ["rho", "pgas", "uu1", "uu2", "uu3", "bb1", "bb2", "bb3"]
-    if opts.has_kappa:
-        names.append("kappa")
+    names = sample_names(opts)
 
     def assemble(vals_s, anchor_s):
         """Named values for one time slice with the positivity repair
@@ -480,16 +570,7 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
             cs = [fetch(*ci) for ci in corner_idx]
             if len(cs) == 1:
                 return assemble(cs[0], cs[0])
-            # Same 8-term weighting order as the reference
-            # (InterpolateSimple, simulation_sampling.cpp:1334-1351)
-            w = [(1 - f_k) * (1 - f_j) * (1 - f_i),
-                 (1 - f_k) * (1 - f_j) * f_i,
-                 (1 - f_k) * f_j * (1 - f_i),
-                 (1 - f_k) * f_j * f_i,
-                 f_k * (1 - f_j) * (1 - f_i),
-                 f_k * (1 - f_j) * f_i,
-                 f_k * f_j * (1 - f_i),
-                 f_k * f_j * f_i]
+            w = trilinear_weights(f_i, f_j, f_k)
             vals_s = sum(wi * ci for wi, ci in zip(w, cs))
             return assemble(vals_s, cs[0])
 
@@ -503,29 +584,8 @@ def sample_grid(grid: SimulationGrid, pos, spin, opts: SamplerOptions):
         else:
             named = sample_slice(make_fetch(None))
 
-    out = {}
-    for name in names:
-        # The reference stores sampled values as float32 before the (double)
-        # coefficient math (SampleSimulation casts, simulation_sampling.cpp:
-        # 836-844) - round-trip for parity.
-        out[name] = named[name].astype(jnp.float32).astype(pos.dtype)
-
-    # Off-grid fallback (simulation_sampling.cpp:376-384, 676-707).
-    # With fallback_nan the reference stores NaN; here values stay FINITE
-    # (a NaN primal would poison reverse-mode through every later product)
-    # and "nan_mask" tells consumers which samples to NaN-poison in outputs.
     # User fallback values are used VERBATIM (the reference does so,
     # simulation_sampling.cpp:695-707, and 0.0 is legal input); divisions
     # by rho/pgas downstream clamp at the point of use instead
     # (models/synchrotron.py fluid_state).
-    fb = {"rho": opts.fallback_rho,
-          "pgas": opts.fallback_pgas,
-          "kappa": opts.fallback_kappa,
-          "uu1": 0.0, "uu2": 0.0, "uu3": 0.0,
-          "bb1": 0.0, "bb2": 0.0, "bb3": 0.0}
-    for name in names:
-        out[name] = jnp.where(off_grid, fb[name], out[name])
-    out["off_grid"] = off_grid
-    out["nan_mask"] = off_grid if opts.fallback_nan \
-        else jnp.zeros_like(off_grid)
-    return out
+    return finalize_sample(named, off_grid, opts, names, pos.dtype)

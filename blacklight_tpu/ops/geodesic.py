@@ -444,3 +444,70 @@ def streaming_reduce(positions, directions, params: GeodesicParams,
                                      (carry0, init_state),
                                      jnp.arange(params.ray_max_steps))
     return state, carry.flag, carry.n_samples
+
+
+def windowed_reduce(positions, directions, params: GeodesicParams,
+                    prep_fn: Callable, contribution_fn: Callable, init_state,
+                    window: int):
+    """Windowed fused reduction: integrate W geodesic steps, run a batch
+    prep over the window's samples, then reduce the window step by step.
+
+    The wavefront sampler's loop structure (docs/performance.md): rays in
+    a coherent bundle touch a small, slowly-moving set of grid cells, so a
+    window of W steps can be sampled with ONE deduplicated gather instead
+    of W per-step gathers. This helper owns only the loop skeleton; the
+    sampling lives in prep_fn/contribution_fn:
+
+      prep_fn(samples) -> (aux_steps, aux_const, window_flag)
+        samples: Sample pytree with (W, B, ...) leaves for one window.
+        aux_steps: pytree with leading axis W, sliced per step.
+        aux_const: pytree passed whole to every step.
+        window_flag: () bool, OR-accumulated across windows (e.g. table
+          overflow).
+      contribution_fn(state, sample, aux_step, aux_const) -> state
+
+    The outer loop is a lax.while_loop over ceil(max_steps / W) windows
+    with early exit once every ray has terminated; like streaming_reduce's
+    early_exit form it is forward-only (gradients use the plain scan
+    path). Steps past ray_max_steps in the final window are masked and the
+    carry is frozen there, so flags/n_samples match the unwindowed scan
+    exactly.
+
+    Returns (final_state, flags, n_samples, prep_flag).
+    """
+    step_body = make_scan_body(params)
+    carry0 = initial_carry(positions, directions, params)
+    n_windows = -(-params.ray_max_steps // window)
+
+    def body_a(carry, n):
+        new_carry, sample = step_body(carry, n)
+        live = n < params.ray_max_steps
+        carry = jax.tree.map(lambda a, b: jnp.where(live, a, b),
+                             new_carry, carry)
+        sample = Sample(pos=sample.pos, dir=sample.dir,
+                        len=jnp.where(live, sample.len, 0.0),
+                        valid=sample.valid & live)
+        return carry, sample
+
+    def outer(loop_state):
+        w_idx, carry, state, pflag = loop_state
+        ns = w_idx * window + jnp.arange(window)
+        carry, samples = jax.lax.scan(body_a, carry, ns)
+        aux_steps, aux_const, window_flag = prep_fn(samples)
+
+        def body_b(st, xs):
+            sample, aux = xs
+            return contribution_fn(st, sample, aux, aux_const), None
+
+        state, _ = jax.lax.scan(body_b, state, (samples, aux_steps))
+        return (w_idx + 1, carry, state, pflag | window_flag)
+
+    def cond(loop_state):
+        w_idx, carry, _, _ = loop_state
+        return (w_idx < n_windows) & jnp.any(carry.alive)
+
+    _, carry, state, pflag = jax.lax.while_loop(
+        cond, outer,
+        (jnp.asarray(0, jnp.int32), carry0, init_state,
+         jnp.asarray(False)))
+    return state, carry.flag, carry.n_samples, pflag

@@ -97,6 +97,17 @@ def make_sharded_renderer(cfg, grid, geom, frequencies, mesh: Mesh,
 
     grid_shards = mesh.shape["grid"]
     slabbed, k_per = split_prim_cells(grid, grid_shards)
+    # Commit the slab to its mesh sharding ONCE: each device holds only its
+    # 1/G slab (the point of the mode), repeated render calls skip the
+    # host->device reshard, and on a multi-process mesh every process
+    # transfers just its addressable shards (all processes compute the
+    # same host value, so the global array is consistent).
+    slab_sharding = jax.sharding.NamedSharding(mesh, P("grid"))
+    if jax.process_count() > 1:
+        slabbed = jax.make_array_from_process_local_data(
+            slab_sharding, np.asarray(slabbed))
+    else:
+        slabbed = jax.device_put(slabbed, slab_sharding)
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P("rays"), P("rays"), P("rays"), P("grid")),
@@ -126,8 +137,17 @@ def make_sharded_renderer(cfg, grid, geom, frequencies, mesh: Mesh,
 
     run_jit = jax.jit(run)
 
+    def to_host(a):
+        if getattr(a, "is_fully_addressable", True):
+            return np.asarray(a)
+        # Multi-process mesh: this process holds only its ray shard;
+        # all-gather the image so every host returns the full array
+        # (mirrors the reference's single output file per run).
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
     def render(positions, directions, momentum_factors):
         image = run_jit(positions, directions, momentum_factors, slabbed)
-        return jax.tree.map(np.asarray, image)
+        return jax.tree.map(to_host, image)
 
     return render

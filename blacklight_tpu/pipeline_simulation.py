@@ -36,6 +36,15 @@ from blacklight_tpu.utils.errors import BlacklightError
 # x 2000 steps x (pos+dir) float32 ~ 1 GB of samples per chunk.
 POLARIZED_CHUNK = 16384
 
+# Wavefront sampler shape constants (grid/wavefront.py): rays per dedup
+# subtile, geodesic steps per window, and unique-cell table capacity.
+# Measured on the production bench workload: a 1024-ray subtile touches
+# <= ~800 unique cells per 128-step window, so 1024 slots leave headroom;
+# overflow falls back to the exact per-step path.
+WAVEFRONT_SUBTILE = 1024
+WAVEFRONT_WINDOW = 128
+WAVEFRONT_CAPACITY = 1024
+
 
 def plasma_params_from_config(cfg) -> synchrotron.PlasmaParams:
     model = cfg.require("plasma_model")
@@ -225,12 +234,21 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
 
 
 def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
-                             early_exit: bool = True):
+                             early_exit: bool = True,
+                             wavefront: bool = True):
     """Build a reusable simulation-model renderer.
 
     Returns (render_fn, geom, rays, frequencies, mass_msun) where
     render_fn(positions, directions, momentum_factors) renders any pixel
     bundle (root camera or adaptive child blocks) to a NumPy image dict.
+
+    wavefront: allow the windowed deduplicated sampler (grid/wavefront.py)
+    on eligible bundles (unpolarized, single-snapshot, clamped-to-block
+    interpolation, bundle a multiple of the subtile). Values are
+    bit-identical to the per-step sampler; bundles whose dedup table
+    overflows are transparently re-rendered on the exact path. Forward
+    rendering only (the windowed loop is not differentiable; gradient
+    callers use integrate_unpolarized directly).
     """
     from blacklight_tpu import pipeline
 
@@ -277,13 +295,30 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
     # The grid rides through jit as a pytree ARGUMENT (see
     # grid/athena.py pytree registration): closure capture would embed
     # the snapshot - up to GBs with the packed table - as HLO constants.
-    @functools.lru_cache(maxsize=6)
-    def fused_for(has_stored, has_prims):
+    # Wavefront eligibility (host-side, static): unpolarized scan path with
+    # the packed-corner table and no slow-light time axis.
+    wf_ok = (bool(wavefront) and not polarized and any_image
+             and not use_block_interp and grid.times is None
+             and grid.prim_packed is not None)
+
+    @functools.lru_cache(maxsize=8)
+    def fused_for(has_stored, has_prims, use_wf=False):
         def fused(positions, directions, momentum_factors, stored,
                   stored_prims, grid_arg):
             coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
                 cfg, grid_arg, geom, frequencies, momentum_factors,
                 polarized=polarized, snapshot_time=snapshot_time)
+            wf = None
+            if use_wf:
+                from blacklight_tpu.grid.wavefront import make_wavefront_prep
+                n_sub = positions.shape[0] // WAVEFRONT_SUBTILE
+                expand = "onehot" if grid_arg.prim_packed.dtype == \
+                    jnp.float32 else "gather"
+                prep_fn, prims_fn = make_wavefront_prep(
+                    grid_arg, cfg.require("simulation_a"),
+                    _sampler_options(cfg, snapshot_time), n_sub,
+                    WAVEFRONT_CAPACITY, expand=expand)
+                wf = (prep_fn, prims_fn, WAVEFRONT_WINDOW)
             image = {}
             if any_image:
                 if polarized:
@@ -311,7 +346,8 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                         mass_msun=mass_msun, camera_x=geom.cam_x,
                         cell_fn=cell_fn if need_cells else None,
                         early_exit=early_exit, log_j_scale=log_scale,
-                        stored=stored, stored_prims=stored_prims)
+                        stored=stored, stored_prims=stored_prims,
+                        wavefront=wf)
 
             if cfg.require("render_num_images") > 0:
                 from blacklight_tpu.transfer.rendering import (
@@ -341,6 +377,16 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
         if stored is not None:
             return fused_for(True, False)(positions, directions,
                                           momentum_factors, stored, grid)
+        if wf_ok and positions.shape[0] % WAVEFRONT_SUBTILE == 0:
+            image = fused_for(False, False, True)(
+                positions, directions, momentum_factors, grid)
+            if not np.asarray(image["_wavefront_overflow"]).any():
+                image = dict(image)
+                del image["_wavefront_overflow"]
+                return image
+            # Some window's unique-cell count exceeded the table capacity
+            # (incoherent bundle); the slot-aliased values are wrong there,
+            # so redo this bundle on the exact per-step path.
         return fused_for(False, False)(positions, directions,
                                        momentum_factors, grid)
 

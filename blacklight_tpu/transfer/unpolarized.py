@@ -81,7 +81,7 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
                           opts: ImageOptions, mass_msun: float, camera_x,
                           cell_fn: Optional[Callable] = None,
                           early_exit: bool = False, log_j_scale=0.0,
-                          stored=None, stored_prims=None):
+                          stored=None, stored_prims=None, wavefront=None):
     """Fused geodesic + unpolarized RT over a pixel bundle.
 
     Args:
@@ -109,6 +109,13 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
       stored_prims: optional dict of (S, B) sampled primitive arrays from a
         sampling checkpoint; requires stored, and coeff_fn/cell_fn must
         accept a prims keyword.
+      wavefront: optional (prep_fn, prims_fn, window) from
+        grid.wavefront.make_wavefront_prep: run the windowed deduplicated
+        sampler (geodesic.windowed_reduce) instead of the per-step scan.
+        coeff_fn/cell_fn must accept a prims keyword. Forward-only; adds
+        "_wavefront_overflow" (B,) to the output (all-True when some
+        window's dedup table overflowed and the caller must re-render on
+        the exact path).
 
     Returns:
       dict of image arrays keyed by output names ("I_nu", "time", ...),
@@ -296,6 +303,16 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
 
         xs = (samples, stored_prims) if stored_prims is not None else samples
         state, _ = jax.lax.scan(body, state, xs)
+    elif wavefront is not None:
+        prep_fn, prims_fn, window = wavefront
+
+        def wf_contribution(st, sample, aux_step, aux_const):
+            return contribution(st, sample,
+                                prims=prims_fn(aux_step, aux_const, dtype))
+
+        state, flags, n_samples, overflow = geodesic.windowed_reduce(
+            positions, directions, params, prep_fn, wf_contribution, state,
+            window)
     else:
         state, flags, n_samples = geodesic.streaming_reduce(
             positions, directions, params, contribution, state,
@@ -303,6 +320,8 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
 
     # Final transforms (unpolarized.cpp:176-209) + NaN poisoning of flagged rays
     out = {"_flags": flags, "_n_samples": n_samples}
+    if wavefront is not None:
+        out["_wavefront_overflow"] = jnp.broadcast_to(overflow, flags.shape)
     nan = jnp.array(jnp.nan, dtype)
     poison = (flags & opts.fallback_nan)[:, None]
     # Coefficient-dependent outputs also poison where coefficients went

@@ -27,6 +27,8 @@ def main():
                     help="number of image frequencies (true-color = 10)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--precision", default="float32")
+    ap.add_argument("--no-wavefront", action="store_true",
+                    help="force the per-step-scan sampler (A/B baseline)")
     args = ap.parse_args()
 
     n_r, n_th, n_ph = (int(s) for s in args.grid.split(","))
@@ -63,7 +65,8 @@ def main():
         from blacklight_tpu.constants import FrequencySpacing
         cfg.image_frequency_spacing = FrequencySpacing.log
 
-    render_fn, geom, rays, frequencies, mass = make_simulation_renderer(cfg)
+    render_fn, geom, rays, frequencies, mass = make_simulation_renderer(
+        cfg, wavefront=not args.no_wavefront)
     res, tile = args.res, args.tile
     n = res * res
     idx = np.arange(n).reshape(res, res)
@@ -95,6 +98,7 @@ def main():
     print(json.dumps({
         "res": res, "steps": args.steps, "grid": args.grid,
         "freqs": args.freqs,
+        "wavefront": not args.no_wavefront,
         "precision": args.precision, "time_s": round(t, 2),
         "compile_s": round(compile_s, 1),
         "rays_per_s": round(n / t, 1),
