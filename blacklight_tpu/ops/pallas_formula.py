@@ -138,9 +138,13 @@ def _formula_geom_c(x0, x1, x2, x3, k0, k1, k2, k3, fp, camera_x):
     return keep, bad, n_n0, u_dot_k
 
 
-def _formula_jalpha_c(keep, bad, n_n0, u_dot_k, mom, nu, fp):
+def _formula_jalpha_c(keep, bad, n_n0, u_dot_k, mom, nu, fp, cn0=None,
+                      with_unit=False):
     """Per-frequency invariant j (scaled) and alpha from the shared
-    geometry (formula_coefficients.cpp:164-179)."""
+    geometry (formula_coefficients.cpp:164-179). cn0 overrides fp.cn0
+    with a runtime (traced) value for the differentiable kernel;
+    with_unit additionally returns alpha_unit = d alpha / d cn0 (alpha is
+    linear in cn0), keep-masked like alpha."""
     nu_fluid = -u_dot_k * nu * mom
     x_raw = nu_fluid / fp.nup
 
@@ -165,19 +169,32 @@ def _formula_jalpha_c(keep, bad, n_n0, u_dot_k, mom, nu, fp):
         pa = jnp.where(x_raw > 0.0, jnp.power(xs, ea), 0.0)
 
     j = n_n0 * pj
-    alpha = fp.a_param * fp.cn0 * n_n0 * pa * nu_fluid
+    cn0_v = fp.cn0 if cn0 is None else cn0
+    alpha_unit = fp.a_param * n_n0 * pa * nu_fluid
+    alpha = cn0_v * alpha_unit
     keepf = keep
-    return (jnp.where(keepf, j, 0.0), jnp.where(keepf, alpha, 0.0),
-            bad & keepf)
+    out = (jnp.where(keepf, j, 0.0), jnp.where(keepf, alpha, 0.0),
+           bad & keepf)
+    if with_unit:
+        return out + (jnp.where(keepf, alpha_unit, 0.0),)
+    return out
 
 
 def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
-                 camera_x, log_j_scale: float, integrator: str = "dp"):
+                 camera_x, log_j_scale: float, integrator: str = "dp",
+                 diff_cn0: bool = False):
     """Kernel factory: fused geodesics + RT for `integrator` in
     {"dp", "rk4", "rk2"} at one or more frequencies (nus: tuple of floats). The
     geometry/velocity part of the coefficients is shared across
     frequencies; each frequency adds only its power laws and an (I, tau)
-    tile pair to the carry."""
+    tile pair to the carry.
+
+    diff_cn0: take the emission amplitude cn0 as a runtime SMEM scalar
+    (first input ref) and carry forward-mode tangent accumulators
+    (dI/dcn0, dtau/dcn0 per frequency), emitting per-ray dI/dcn0 outputs
+    after the I outputs. The ray trajectory is independent of cn0, so the
+    tangent rides along at a few extra VPU ops per step instead of a
+    reverse pass over the whole integration."""
     spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
     x_unit = Physics.gg_msun * mass_msun / (Physics.c * Physics.c)
     nus = tuple(float(v) for v in nus)
@@ -191,9 +208,18 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
                               flat=flat, with_distance=(integrator == "dp"))
 
     def kernel(*refs):
+        if diff_cn0:
+            cn0r, refs = refs[0], refs[1:]
+            cn0 = cn0r[0]
+        else:
+            cn0 = None
         (x0r, x1r, x2r, x3r, p0r, p1r, p2r, p3r, momr) = refs[:9]
         i_outs = refs[9:9 + nf]
-        flag_out, nsamp_out = refs[9 + nf:]
+        if diff_cn0:
+            di_outs = refs[9 + nf:9 + 2 * nf]
+            flag_out, nsamp_out = refs[9 + 2 * nf:]
+        else:
+            flag_out, nsamp_out = refs[9 + nf:]
         x0, x1, x2, x3 = x0r[:], x1r[:], x2r[:], x3r[:]
         p0, p1, p2, p3 = p0r[:], p1r[:], p2r[:], p3r[:]
         mom = momr[:]
@@ -218,6 +244,9 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
         for f_i in range(nf):
             state0[f"I{f_i}"] = zero
             state0[f"tau{f_i}"] = zero
+            if diff_cn0:
+                state0[f"dI{f_i}"] = zero
+                state0[f"dtau{f_i}"] = zero
 
         def transfer_update(s, valid, bad_acc, mx0, mx1, mx2, mx3,
                             mk0, mk1, mk2, mk3, h, out):
@@ -235,8 +264,9 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
             keep, gbad, n_n0, u_dot_k = _formula_geom_c(
                 sx0, sx1, sx2, sx3, sk0, sk1, sk2, sk3, fp, cam)
             for f_i, nu in enumerate(nus):
-                j, alpha, cbad = _formula_jalpha_c(
-                    keep, gbad, n_n0, u_dot_k, mom, nu, fp)
+                j, alpha, cbad, alpha_unit = _formula_jalpha_c(
+                    keep, gbad, n_n0, u_dot_k, mom, nu, fp, cn0=cn0,
+                    with_unit=True)
                 nfin = ~(jnp.isfinite(j) & jnp.isfinite(alpha))
                 cbad = cbad | nfin
                 j = jnp.where(cbad, 0.0, j)
@@ -249,9 +279,10 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
                 delta_tau = alpha * dl_cgs
                 atten = jnp.exp(-s[f"tau{f_i}"])
                 thin = delta_tau <= DELTA_TAU_MAX
+                em = -_expm1(-delta_tau)
                 contrib = jnp.where(
                     pos_alpha,
-                    jnp.where(thin, ss * (-_expm1(-delta_tau)), ss),
+                    jnp.where(thin, ss * em, ss),
                     j * dl_cgs)
                 out[f"I{f_i}"] = s[f"I{f_i}"] \
                     + jnp.where(valid, contrib * atten, 0.0)
@@ -260,6 +291,30 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
                                      0.0)
                 out[f"tau{f_i}"] = s[f"tau{f_i}"] \
                     + jnp.where(valid, dtau_eff, 0.0)
+                if diff_cn0:
+                    # Forward-mode tangent wrt cn0 (alpha = cn0 *
+                    # alpha_unit, j independent of cn0) - branch-selected
+                    # derivatives match what jax.grad produces through the
+                    # scan path's jnp.where ladder exactly.
+                    alpha_unit = jnp.where(cbad, 0.0, alpha_unit)
+                    ddt = alpha_unit * dl_cgs
+                    dss = -ss * alpha_unit \
+                        / jnp.where(pos_alpha, alpha, 1.0)
+                    dcontrib = jnp.where(
+                        pos_alpha,
+                        jnp.where(thin,
+                                  dss * em
+                                  + ss * jnp.exp(-delta_tau) * ddt,
+                                  dss),
+                        0.0)
+                    # tau == inf => atten == 0: downstream contributions
+                    # and their tangents vanish (guard avoids 0 * inf)
+                    datten = jnp.where(atten > 0.0,
+                                       -atten * s[f"dtau{f_i}"], 0.0)
+                    out[f"dI{f_i}"] = s[f"dI{f_i}"] + jnp.where(
+                        valid, dcontrib * atten + contrib * datten, 0.0)
+                    out[f"dtau{f_i}"] = s[f"dtau{f_i}"] + jnp.where(
+                        valid & pos_alpha & thin, ddt, 0.0)
             return bad_acc
 
         A = geo._DP_A
@@ -493,6 +548,11 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
         for f_i in range(nf):
             i_outs[f_i][:] = jnp.where(poison, jnp.nan,
                                        s[f"I{f_i}"] * i_scales[f_i])
+            if diff_cn0:
+                # Poisoned pixels hold a constant NaN: their derivative is
+                # zero, matching jax.grad through the scan path's where.
+                di_outs[f_i][:] = jnp.where(poison, 0.0,
+                                            s[f"dI{f_i}"] * i_scales[f_i])
         flag_out[:] = s["flag"]
         nsamp_out[:] = s["n_samp"]
 
@@ -502,7 +562,8 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
 def render_formula(positions, directions, momentum_factors, frequencies,
                    params: geo.GeodesicParams, fp, mass_msun: float,
                    camera_x, log_j_scale: float, fallback_nan: bool = True,
-                   integrator: str = "dp", interpret: bool = False):
+                   integrator: str = "dp", interpret: bool = False,
+                   cn0=None):
     """Pallas fused render of a ray bundle.
 
     Args:
@@ -512,13 +573,17 @@ def render_formula(positions, directions, momentum_factors, frequencies,
       fp: FormulaParams (plus geometry/cut fields used by the coefficient
         function). integrator: "dp", "rk4", or "rk2". interpret: run the kernel in
         interpreter mode (CPU testing).
+      cn0: optional runtime (traced) emission amplitude overriding fp.cn0;
+        switches to the tangent-carrying kernel, which additionally
+        returns per-ray dI_nu/dcn0 (same shape as I_nu).
 
     Returns (I_nu (B, F) - or (B,) when a scalar frequency was given -,
-    flags (B,) bool, n_samples (B,)).
+    flags (B,) bool, n_samples (B,)[, dI_dcn0 like I_nu when cn0 given]).
     """
     scalar_freq = np.ndim(frequencies) == 0
     nus = ([float(frequencies)] if scalar_freq
            else [float(v) for v in np.asarray(frequencies)])
+    diff_cn0 = cn0 is not None
     b = positions.shape[0]
     block = ROWS * LANES
     n_pad = (-b) % block
@@ -548,27 +613,105 @@ def render_formula(positions, directions, momentum_factors, frequencies,
     kernel_params = _KParams(params, fallback_nan)
     kernel = _make_kernel(kernel_params, fp, nus, mass_msun,
                           np.asarray(camera_x, np.float64), log_j_scale,
-                          integrator=integrator)
+                          integrator=integrator, diff_cn0=diff_cn0)
 
     nf = len(nus)
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    n_fouts = 2 * nf if diff_cn0 else nf
+    in_specs = [spec] * 9
+    inputs = cols
+    if diff_cn0:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = [jnp.asarray(cn0, dtype).reshape(1)] + inputs
     out_shape = (
-        [jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), dtype)] * nf
+        [jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), dtype)] * n_fouts
         + [jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), jnp.int32)] * 2)
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[spec] * 9,
-        out_specs=[spec] * (nf + 2),
+        in_specs=in_specs,
+        out_specs=[spec] * (n_fouts + 2),
         out_shape=out_shape,
         interpret=interpret,
-    )(*cols)
+    )(*inputs)
     imgs = [o.reshape(-1)[:b] for o in outs[:nf]]
-    flags = outs[nf].reshape(-1)[:b].astype(bool)
-    nsamp = outs[nf + 1].reshape(-1)[:b]
+    flags = outs[n_fouts].reshape(-1)[:b].astype(bool)
+    nsamp = outs[n_fouts + 1].reshape(-1)[:b]
     i_img = imgs[0] if scalar_freq else jnp.stack(imgs, axis=-1)
-    return i_img, flags, nsamp
+    if not diff_cn0:
+        return i_img, flags, nsamp
+    dimgs = [o.reshape(-1)[:b] for o in outs[nf:2 * nf]]
+    di_img = dimgs[0] if scalar_freq else jnp.stack(dimgs, axis=-1)
+    return i_img, flags, nsamp, di_img
+
+
+def make_formula_vjp_renderer(frequencies, params: geo.GeodesicParams, fp,
+                              mass_msun: float, camera_x,
+                              log_j_scale: float, fallback_nan: bool = True,
+                              integrator: str = "dp",
+                              interpret: bool = False):
+    """Differentiable (in cn0) kernel renderer for inverse problems.
+
+    Returns render(cn0, positions, directions, momentum_factors) ->
+    (I_nu, flags, n_samples) wrapped in jax.custom_vjp: the forward pass
+    is the fused Pallas kernel carrying in-kernel dI/dcn0 tangents (the
+    trajectory is cn0-independent, so the tangent costs a few VPU ops per
+    step instead of a reverse sweep), and the backward contracts the
+    saved per-ray dI/dcn0 against the incoming cotangent. positions /
+    directions / momentum_factors are wrapped in stop_gradient: camera-
+    pose gradients must use the XLA-scan path (pipeline.py), which
+    supports full reverse-mode.
+
+    cn0 enters the image twice: linearly through the emission amplitude
+    (formula.py formula_log_j_scale - static inside the kernel, so it is
+    applied here as an exact cn0/cn0_ref factor outside) and nonlinearly
+    through the absorption alpha = cn0 * alpha_unit (the in-kernel
+    runtime tangent). log_j_scale must be formula_log_j_scale(fp), i.e.
+    consistent with cn0_ref = fp.cn0 (> 0).
+    """
+    cn0_ref = float(fp.cn0)
+
+    def _run(cn0, positions, directions, momentum_factors):
+        i_raw, flags, nsamp, di = render_formula(
+            positions, directions, momentum_factors, frequencies, params,
+            fp, mass_msun, camera_x, log_j_scale,
+            fallback_nan=fallback_nan, integrator=integrator,
+            interpret=interpret, cn0=cn0)
+        return i_raw * (cn0 / cn0_ref), flags, nsamp, i_raw, di
+
+    @jax.custom_vjp
+    def render(cn0, positions, directions, momentum_factors):
+        i_img, flags, nsamp, _, _ = _run(cn0, positions, directions,
+                                         momentum_factors)
+        return i_img, flags, nsamp
+
+    def fwd(cn0, positions, directions, momentum_factors):
+        i_img, flags, nsamp, i_raw, di = _run(cn0, positions, directions,
+                                              momentum_factors)
+        # Product rule: I = (cn0/cn0_ref) * I_raw(alpha(cn0)); poisoned
+        # pixels hold a constant NaN whose derivative is zero.
+        di_total = jnp.where(jnp.isnan(i_raw), 0.0,
+                             i_raw / cn0_ref + (cn0 / cn0_ref) * di)
+        return (i_img, flags, nsamp), (di_total, positions, directions,
+                                       momentum_factors)
+
+    def bwd(res, cts):
+        di_total, positions, directions, momentum_factors = res
+        ct_i = cts[0]
+        ct_cn0 = jnp.sum(ct_i * di_total)
+        return (ct_cn0, jnp.zeros_like(positions),
+                jnp.zeros_like(directions),
+                jnp.zeros_like(momentum_factors))
+
+    render.defvjp(fwd, bwd)
+
+    def wrapper(cn0, positions, directions, momentum_factors):
+        return render(cn0, jax.lax.stop_gradient(positions),
+                      jax.lax.stop_gradient(directions),
+                      jax.lax.stop_gradient(momentum_factors))
+
+    return wrapper
 
 
 def render_formula_dp(positions, directions, momentum_factors, frequency,

@@ -31,6 +31,10 @@ def main():
                          "pose); needs float64 - photon-ring pixel "
                          "gradients grow exponentially along the ray and "
                          "overflow float32")
+    ap.add_argument("--scan", action="store_true",
+                    help="force the XLA-scan reverse-mode path; default "
+                         "(cn0-only, float32) uses the Pallas kernel's "
+                         "custom_vjp (in-kernel forward-mode tangents)")
     args = ap.parse_args()
 
     import jax
@@ -76,7 +80,24 @@ def main():
         return jnp.sum(img["I_nu"])
 
     argnums = (0, 1) if args.pose else (0,)
-    grad_fn = jax.jit(jax.value_and_grad(total_flux, argnums=argnums))
+    use_kernel = (not args.pose and not args.scan
+                  and args.precision == "float32")
+    if use_kernel:
+        from blacklight_tpu.ops.pallas_formula import \
+            make_formula_vjp_renderer
+        render_k = make_formula_vjp_renderer(
+            freqs, params, fparams, mass_msun, np.asarray(geom.cam_x),
+            float(formula_model.formula_log_j_scale(fparams)),
+            fallback_nan=False, interpret=args.cpu)
+
+        def total_flux_kernel(cn0, pos, dirs, moms):
+            i_img, _, _ = render_k(cn0, pos, dirs, moms)
+            return jnp.sum(i_img)
+
+        grad_fn = jax.jit(jax.value_and_grad(total_flux_kernel,
+                                             argnums=(0,)))
+    else:
+        grad_fn = jax.jit(jax.value_and_grad(total_flux, argnums=argnums))
 
     n = args.res * args.res
     tile = args.tile
@@ -114,6 +135,7 @@ def main():
     print(json.dumps({
         "res": args.res, "steps": args.steps, "precision": args.precision,
         "mode": "forward+backward", "wrt": "cn0+pose" if args.pose else "cn0",
+        "path": "pallas_vjp" if use_kernel else "scan",
         "time_s": round(t, 2),
         "compile_s": round(compile_s, 1),
         "rays_per_s": round(n / t, 1),

@@ -79,6 +79,49 @@ def test_formula_cn0_gradient_matches_fd(formula_setup):
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
 
 
+def test_pallas_cn0_gradient_matches_scan_and_fd(formula_setup):
+    """The custom_vjp Pallas kernel's cn0 gradient (in-kernel forward-mode
+    tangents, ops/pallas_formula.make_formula_vjp_renderer) agrees with the
+    scan path's reverse-mode AD and with central finite differences."""
+    from blacklight_tpu.ops.pallas_formula import make_formula_vjp_renderer
+
+    cfg, geom, rays, freqs, params, fparams, mass_msun = formula_setup
+    render = make_formula_vjp_renderer(
+        freqs, params, fparams, mass_msun, np.asarray(geom.cam_x),
+        float(formula_model.formula_log_j_scale(fparams)),
+        fallback_nan=False, interpret=True)
+
+    def loss_k(c):
+        i_img, _, _ = render(c, rays.positions, rays.directions,
+                             rays.momentum_factors)
+        return jnp.sum(i_img)
+
+    c0 = jnp.asarray(fparams.cn0, jnp.float32)
+    val_k, g_k = jax.jit(jax.value_and_grad(loss_k))(c0)
+    assert np.isfinite(float(g_k))
+
+    # Central finite differences through the kernel itself: the tangent
+    # must match the kernel's own function tightly.
+    f = jax.jit(loss_k)
+    eps = float(c0) * 1e-3
+    fd = (f(c0 + eps) - f(c0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g_k), float(fd), rtol=1e-3)
+
+    # Scan-path reverse-mode on the same bundle: agreement at the same
+    # quadrature level as the forward images (f32 capped-step kernel vs
+    # f64 scan, test_pallas_kernel.py).
+    loss_s = make_loss(formula_setup)
+    g_s = jax.jit(jax.grad(lambda c: loss_s(c, rays.positions)))(c0)
+    np.testing.assert_allclose(float(g_k), float(g_s), rtol=2e-2)
+
+    # Pose inputs are stop_gradient on the kernel path (documented): the
+    # position cotangent must come back exactly zero, not garbage.
+    gp = jax.jit(jax.grad(
+        lambda p: jnp.sum(render(c0, p, rays.directions,
+                                 rays.momentum_factors)[0])))(rays.positions)
+    assert not np.any(np.asarray(gp))
+
+
 def test_formula_camera_gradient_finite(formula_setup):
     """Gradient wrt pixel positions (camera pose) flows through the full
     geodesic integration and stays finite."""
