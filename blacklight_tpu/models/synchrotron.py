@@ -150,8 +150,12 @@ def fluid_state(pos, samples, spin, plasma: PlasmaParams, rho_unit: float,
     if plasma.model == PlasmaModel.ti_te_beta:
         tti_tte = (plasma.rat_high + plasma.rat_low * beta_inv ** 2) \
             / (1.0 + beta_inv ** 2)
-        kb_tt_tot_cgs = plasma.mu * Physics.m_p * pgas_cgs \
-            / jnp.maximum(rho_cgs, 1e-30)
+        # pgas_cgs/rho_cgs = (pgas/rho) c^2, formed from the O(1) code-unit
+        # ratio: dividing by rho_cgs (~1e-25 f32) is fine forward but its
+        # VJP intermediate 1/rho_cgs^2 (~1e50) overflows float32 to inf,
+        # poisoning d/d rho for every cell a ray touches.
+        kb_tt_tot_cgs = (plasma.mu * Physics.m_p * Physics.c ** 2) \
+            * (pgas / jnp.maximum(rho, 1e-30))
         if plasma.use_p:
             kb_tt_e_cgs = (1.0 + plasma.ne_ni) / (tti_tte + plasma.ne_ni) \
                 * kb_tt_tot_cgs

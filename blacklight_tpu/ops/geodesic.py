@@ -446,6 +446,68 @@ def streaming_reduce(positions, directions, params: GeodesicParams,
     return state, carry.flag, carry.n_samples
 
 
+def masked_step(params: GeodesicParams) -> Callable:
+    """Scan body that freezes the carry and invalidates samples for step
+    indices past ray_max_steps (so windowed drivers whose last window
+    overruns the step budget match the plain scan exactly)."""
+    body = make_scan_body(params)
+
+    def step(carry, n):
+        new_carry, sample = body(carry, n)
+        live = n < params.ray_max_steps
+        carry = jax.tree.map(lambda a, b: jnp.where(live, a, b),
+                             new_carry, carry)
+        sample = Sample(pos=sample.pos, dir=sample.dir,
+                        len=jnp.where(live, sample.len, 0.0),
+                        valid=sample.valid & live)
+        return carry, sample
+
+    return step
+
+
+def segment_carries(positions, directions, params: GeodesicParams,
+                    window: int):
+    """Sweep the full geodesic integration, storing only each window's
+    initial carry (sqrt-checkpointing for order-reversed consumers).
+
+    The polarized transfer must process samples far-end -> camera but the
+    geodesic integrates camera -> far-end; instead of materializing all
+    (S, B) samples, store the integrator carry at K = ceil(S/window)
+    window boundaries and re-integrate one window at a time in reverse
+    segment order (replay_window), bit-identically.
+
+    Returns (starts, flags, n_samples): starts is a Carry pytree with
+    (K, B, ...) leaves (starts[k] = carry entering step k*window).
+    """
+    step = masked_step(params)
+    carry0 = initial_carry(positions, directions, params)
+    n_seg = -(-params.ray_max_steps // window)
+
+    def seg(carry, k):
+        start = carry
+
+        def inner(c, n):
+            c, _ = step(c, n)
+            return c, None
+
+        ns = k * window + jnp.arange(window)
+        carry, _ = jax.lax.scan(inner, carry, ns)
+        return carry, start
+
+    carry, starts = jax.lax.scan(seg, carry0, jnp.arange(n_seg))
+    return starts, carry.flag, carry.n_samples
+
+
+def replay_window(start_carry, params: GeodesicParams, k, window: int):
+    """Re-integrate one window from its boundary carry (segment_carries),
+    materializing that window's (window, B) samples only. k may be traced
+    (reverse segment scans)."""
+    step = masked_step(params)
+    ns = k * window + jnp.arange(window)
+    _, samples = jax.lax.scan(step, start_carry, ns)
+    return samples
+
+
 def windowed_reduce(positions, directions, params: GeodesicParams,
                     prep_fn: Callable, contribution_fn: Callable, init_state,
                     window: int):
@@ -475,19 +537,9 @@ def windowed_reduce(positions, directions, params: GeodesicParams,
 
     Returns (final_state, flags, n_samples, prep_flag).
     """
-    step_body = make_scan_body(params)
     carry0 = initial_carry(positions, directions, params)
     n_windows = -(-params.ray_max_steps // window)
-
-    def body_a(carry, n):
-        new_carry, sample = step_body(carry, n)
-        live = n < params.ray_max_steps
-        carry = jax.tree.map(lambda a, b: jnp.where(live, a, b),
-                             new_carry, carry)
-        sample = Sample(pos=sample.pos, dir=sample.dir,
-                        len=jnp.where(live, sample.len, 0.0),
-                        valid=sample.valid & live)
-        return carry, sample
+    body_a = masked_step(params)
 
     def outer(loop_state):
         w_idx, carry, state, pflag = loop_state

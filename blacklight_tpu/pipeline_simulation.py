@@ -32,10 +32,6 @@ from blacklight_tpu.transfer.unpolarized import ImageOptions, integrate_unpolari
 from blacklight_tpu.utils.errors import BlacklightError
 
 
-# Pixel-axis chunk for the (sample-materializing) polarized path: 16k rays
-# x 2000 steps x (pos+dir) float32 ~ 1 GB of samples per chunk.
-POLARIZED_CHUNK = 16384
-
 # Wavefront sampler shape constants (grid/wavefront.py): rays per dedup
 # subtile, geodesic steps per window, and unique-cell table capacity.
 # Measured on the production bench workload: a 1024-ray subtile touches
@@ -392,35 +388,12 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
 
     def render_fn(positions, directions, momentum_factors,
                   stored=None, stored_prims=None):
-        n = positions.shape[0]
-        if polarized and n > POLARIZED_CHUNK:
-            # The polarized integrator materializes (S, B, 4) geodesic
-            # samples (unlike the streaming unpolarized scan); chunk the
-            # pixel axis so large cameras never hold the whole bundle's
-            # samples in HBM at once.
-            from blacklight_tpu.ops import geodesic as geo
-            images = []
-            for i in range(0, n, POLARIZED_CHUNK):
-                sl = slice(i, min(i + POLARIZED_CHUNK, n))
-                st = None
-                if stored is not None:
-                    samples, flg, nsmp = stored
-                    st = (geo.Sample(
-                        pos=samples.pos[:, sl], dir=samples.dir[:, sl],
-                        len=samples.len[:, sl], valid=samples.valid[:, sl]),
-                        flg[sl], nsmp[sl])
-                sp = None if stored_prims is None else \
-                    {k: v[:, sl] for k, v in stored_prims.items()}
-                images.append(jax.tree.map(
-                    np.asarray,
-                    _render_one(positions[sl], directions[sl],
-                                momentum_factors[sl], st, sp)))
-            image = {k: np.concatenate([im[k] for im in images], axis=0)
-                     for k in images[0]}
-        else:
-            image = jax.tree.map(np.asarray, _render_one(
-                positions, directions, momentum_factors, stored,
-                stored_prims))
+        # The polarized integrator streams samples (segmented geodesic
+        # replay, transfer/polarized.py) just like the unpolarized scan,
+        # so no pixel-axis chunking is needed at any bundle size.
+        image = jax.tree.map(np.asarray, _render_one(
+            positions, directions, momentum_factors, stored,
+            stored_prims))
         if slow and "_t_min" in image:
             _check_time_extrapolation(image, grid, snapshot_time, snapshot)
         return image

@@ -13,10 +13,15 @@ transport around matter coupling in a fluid tetrad frame:
               -> transport by second half step
   finally:    camera-frame tetrad per pixel -> Stokes I, Q, U, V; nu^3 scale.
 
-Because the coupling operators do not commute along the ray, this path
-materializes the geodesic samples (trace_geodesics + compaction) and scans
-the step axis in reverse - unlike the streaming unpolarized path. Pixel
-bundles should be chunked by the caller for memory.
+Because the coupling operators do not commute along the ray, samples must
+be processed far-end -> camera while the geodesic integrates camera ->
+far-end. Instead of materializing all (S, B) samples, the integrator
+sqrt-checkpoints the geodesic sweep (ops/geodesic.segment_carries) and
+replays one window of steps at a time in reverse segment order -
+bit-identical samples at O(S/window + window) memory - so arbitrarily
+large bundles stream without chunking. Each sample's second-half
+transport (whose step length belongs to the NEXT, nearer sample) is
+deferred to that next sample's iteration, so the scan needs no lookahead.
 """
 
 from __future__ import annotations
@@ -26,7 +31,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from blacklight_tpu.constants import NUM_CELL_VALUES, Physics, RayIntegrator
+from blacklight_tpu.constants import NUM_CELL_VALUES, Physics
 from blacklight_tpu.ops import connection as connection_mod
 from blacklight_tpu.ops import geodesic, geometry
 from blacklight_tpu.ops.tetrad import tetrad_rows_c
@@ -155,7 +160,7 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
                         mass_msun: float, camera_x, camera_u_con, camera_u_cov,
                         camera_vert_con_c, log_j_scale=0.0,
                         rotation_split: bool = False, stored=None,
-                        stored_prims=None, cell_fn=None):
+                        stored_prims=None, cell_fn=None, window: int = 64):
     """Full-Stokes transfer over a pixel bundle.
 
     Args:
@@ -180,32 +185,18 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     t_unit = x_unit / Physics.c
 
     if stored is not None:
+        # Checkpointed samples: stream the stored (S, B) rows in reverse.
+        # No compaction is needed (dp holes included): the scan carries
+        # the previously processed VALID sample, so invalid rows pass
+        # through untouched.
         samples, flags, n_samples = stored
     else:
-        samples, flags, n_samples = geodesic.trace_geodesics(
-            positions, directions, params)
-        if params.integrator == RayIntegrator.dp:
-            # Only dp leaves holes (rejected attempts); rk samples are
-            # already prefix-valid and the argsort compaction is ~7x the
-            # cost of the trace itself on TPU
-            samples = geodesic.compact_samples(samples)
-    s_len = samples.len.shape[0]
-
-    # delta_lambda_new: the next (nearer-to-camera) sample's step, or the
-    # current one at the camera end (polarized.cpp:121-124 after reversal).
-    dl = -samples.len                                     # (S, B), positive
-    dl_next = jnp.concatenate([dl[:1], dl[:-1]], axis=0)  # shifted toward camera
-    # Previous processed sample (farther from the camera; the scan runs in
-    # reverse) as shifted rows: valid samples are contiguous from index 0
-    # (rk integrators emit prefix-valid rows; dp rows are compacted), so
-    # row n+1 IS the previously processed sample. Recomputing the
-    # connection there each step replaces a (B,4,4,4) carry whose HBM
-    # round-trip dominated the whole integrator (~8 MB/step at 16k rays).
-    pos_prev = jnp.concatenate([samples.pos[1:], samples.pos[-1:]], axis=0)
-    dir_prev = jnp.concatenate([samples.dir[1:], samples.dir[-1:]], axis=0)
-    dl_prev = jnp.concatenate([dl[1:], dl[-1:]], axis=0)
-    valid_prev = jnp.concatenate(
-        [samples.valid[1:], jnp.zeros_like(samples.valid[-1:])], axis=0)
+        # Streaming mode: never materialize the (S, B) samples. Sweep the
+        # geodesics once storing only K = ceil(S/window) boundary carries,
+        # then replay one window at a time in reverse segment order
+        # (bit-identical re-integration; ops/geodesic.segment_carries).
+        starts, flags, n_samples = geodesic.segment_carries(
+            positions, directions, params, window)
 
     spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
     bf = b * f
@@ -224,12 +215,26 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
     # type, and (B, F, 4, 4) tiles waste 63/64 of each (8, 128) tile.
     zeros_bf = tuple(jnp.zeros(bf, dtype) for _ in range(10))
     zeros_bf6 = tuple(jnp.zeros(bf, dtype) for _ in range(6))
+    zero_b = jnp.zeros(b, dtype)
     state = {
-        "nn_re": zeros_bf,
-        "nn_im": zeros_bf6,
+        # Only the post-coupling tensor is carried; the second-half
+        # transport of each sample is DEFERRED to the next processed
+        # (nearer-to-camera) sample, where delta_lambda_new is the current
+        # step (polarized.cpp:121-124) - so the scan needs no
+        # next-sample lookahead and samples can be streamed.
         "nn_temp_re": zeros_bf,
         "nn_temp_im": zeros_bf6,
         "coeff_bad": jnp.zeros((b, f), dtype=bool),
+        # Previously processed (farther) valid sample: its position /
+        # momentum / step, its transport matrix A(pos, k) for the deferred
+        # second half, and its contravariant k for the averaged first-half
+        # matrix. pos_pv initializes to the (benign, far-from-horizon)
+        # camera position so unmasked matrix algebra stays finite.
+        "started": jnp.zeros(b, dtype=bool),
+        "pos_pv": positions,
+        "dl_pv": zero_b,
+        "kcon_pv": jnp.zeros((b, 4), dtype),
+        "a_prev": tuple(tuple(zero_b for _ in range(4)) for _ in range(4)),
     }
     if opts.time:
         state["time"] = jnp.zeros(b, dtype)
@@ -257,12 +262,14 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         state["t_max"] = jnp.full(b, -jnp.inf, dtype)
 
     def body(state, xs):
-        (pos, kcov, dl_cur, dl_nxt, valid, prims,
-         pos_pv, dir_pv, dl_pv, valid_pv) = xs
+        pos, kcov, dl_cur, valid, prims = xs
         coeff_extra = {} if prims is None else {"prims": prims}
         active = valid
-        started = valid_pv
+        started = state["started"]
         first = active & ~started
+        pos_pv = state["pos_pv"]
+        dl_pv = state["dl_pv"]
+        kcon_prev = state["kcon_pv"]
 
         dl_cgs = dl_cur[:, None] * x_unit / (frequencies[None, :]
                                              * momentum_factors[:, None])
@@ -274,7 +281,6 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         #   0.5 (A(prev, k_old) + A(cur, k_old))
         #     = 0.5 A(prev, k_old) + 0.25 A(cur, k_prev) + 0.25 A(cur, k)
         kcon = _kcon_scalar(pos, kcov, spin, mass, flat)
-        kcon_prev = _kcon_scalar(pos_pv, dir_pv, spin, mass, flat)
         kcon_old = jnp.where(first[:, None], kcon,
                              0.5 * (kcon_prev + kcon))
         if flat:
@@ -300,13 +306,25 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
                              + 0.25 * a_cur_k[m][bb])
                    for bb in range(4)] for m in range(4)]
 
+        # Deferred second-half transport of the PREVIOUS processed sample
+        # (polarized.cpp:815-833): its delta_lambda_new is THIS sample's
+        # step, so it runs here with the carried matrix A(pos_pv, k_pv).
+        # Before any sample (first rows), a_prev and nn_temp are zero and
+        # the transport is the zero tensor.
+        a_prev_bf = [[_ex(state["a_prev"][m][bb]) for bb in range(4)]
+                     for m in range(4)]
+        dl_local2 = _ex(0.25 * (dl_pv + dl_cur))
+        nn_sec_re, nn_sec_im = _transport_c(
+            a_prev_bf, state["nn_temp_re"], state["nn_temp_im"],
+            state["nn_temp_re"], state["nn_temp_im"], dl_local2)
+
         # First-half parallel transport (polarized.cpp:174-192) on flat
         # (B*F,) component arrays
         a_half_bf = [[_ex(a_half[m][bb]) for bb in range(4)]
                      for m in range(4)]
         dl_local = _ex(0.5 * (jnp.where(first, 0.0, dl_pv) + dl_cur))
         nn_half_re, nn_half_im = _transport_c(
-            a_half_bf, state["nn_re"], state["nn_im"],
+            a_half_bf, nn_sec_re, nn_sec_im,
             state["nn_temp_re"], state["nn_temp_im"], dl_local)
 
         # Fluid state, coefficients, tetrad
@@ -434,36 +452,59 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
 
         # Stokes -> N (I 13; polarized.cpp:793-813): the tetrad-frame N is
         # nonzero only in the 2x2 transverse block, reconstructed from the
-        # two contravariant tetrad rows
+        # two contravariant tetrad rows. The second-half transport of THIS
+        # sample is deferred to the next processed sample (or the final
+        # camera-end transport after the scan).
         t1 = [_ex(c) for c in t1c]
         t2 = [_ex(c) for c in t2c]
         nn_post_re, nn_post_im = _n_from_stokes(t1, t2, *ss_end)
 
-        # Second-half transport (polarized.cpp:815-833)
-        a_cur_bf = [[_ex(a_cur_k[m][bb]) for bb in range(4)]
-                    for m in range(4)]
-        dl_local2 = _ex(0.25 * (dl_cur + dl_nxt))
-        nn_new_re, nn_new_im = _transport_c(
-            a_cur_bf, nn_post_re, nn_post_im, nn_post_re, nn_post_im,
-            dl_local2)
-
         af = _ex(active)
-        state["nn_re"] = tuple(jnp.where(af, n, o) for n, o in
-                               zip(nn_new_re, state["nn_re"]))
-        state["nn_im"] = tuple(jnp.where(af, n, o) for n, o in
-                               zip(nn_new_im, state["nn_im"]))
         state["nn_temp_re"] = tuple(jnp.where(af, n, o) for n, o in
                                     zip(nn_post_re, state["nn_temp_re"]))
         state["nn_temp_im"] = tuple(jnp.where(af, n, o) for n, o in
                                     zip(nn_post_im, state["nn_temp_im"]))
+        state["a_prev"] = tuple(
+            tuple(jnp.where(active, a_cur_k[m][bb], state["a_prev"][m][bb])
+                  for bb in range(4)) for m in range(4))
+        state["kcon_pv"] = jnp.where(active[:, None], kcon, state["kcon_pv"])
+        state["pos_pv"] = jnp.where(active[:, None], pos, state["pos_pv"])
+        state["dl_pv"] = jnp.where(active, dl_cur, state["dl_pv"])
+        state["started"] = started | active
         return state, None
 
-    xs = (samples.pos, samples.dir, dl, dl_next, samples.valid, stored_prims,
-          pos_prev, dir_prev, dl_prev, valid_prev)
     # Rematerialize the body in reverse-mode (same policy as the geodesic
     # scan, ops/geodesic.py): backward recomputes each step from its xs
     # instead of storing every per-step intermediate for all S steps.
-    state, _ = jax.lax.scan(jax.checkpoint(body), state, xs, reverse=True)
+    if stored is not None:
+        xs = (samples.pos, samples.dir, -samples.len, samples.valid,
+              stored_prims)
+        state, _ = jax.lax.scan(jax.checkpoint(body), state, xs,
+                                reverse=True)
+    else:
+        n_seg = -(-params.ray_max_steps // window)
+
+        def seg_body(st, seg):
+            k, start = seg
+            s_k = geodesic.replay_window(start, params, k, window)
+            xs_k = (s_k.pos, s_k.dir, -s_k.len, s_k.valid, None)
+            st, _ = jax.lax.scan(jax.checkpoint(body), st, xs_k,
+                                 reverse=True)
+            return st, None
+
+        # Outer checkpoint: backward re-runs one window's replay + scan at
+        # a time, so gradient memory is O(K + window), never O(S).
+        state, _ = jax.lax.scan(jax.checkpoint(seg_body), state,
+                                (jnp.arange(n_seg), starts), reverse=True)
+
+    # Final deferred second-half transport at the camera end: the nearest
+    # processed sample's delta_lambda_new is its own step
+    # (polarized.cpp:121-124), so dl = 0.25 (dl_pv + dl_pv).
+    a_prev_bf = [[_ex(state["a_prev"][m][bb]) for bb in range(4)]
+                 for m in range(4)]
+    nn_fin_re, nn_fin_im = _transport_c(
+        a_prev_bf, state["nn_temp_re"], state["nn_temp_im"],
+        state["nn_temp_re"], state["nn_temp_im"], _ex(0.5 * state["dl_pv"]))
 
     # Camera-frame Stokes extraction (polarized.cpp:846-949)
     kcon = _kcon_scalar(positions, directions, spin, mass, flat)
@@ -499,8 +540,7 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
 
     e1 = [_exf(e1_cov[:, m]) for m in range(4)]
     e2 = [_exf(e2_cov[:, m]) for m in range(4)]
-    ss_i, ss_q, ss_u, ss_v = _stokes_from_n(e1, e2, state["nn_re"],
-                                            state["nn_im"])
+    ss_i, ss_q, ss_u, ss_v = _stokes_from_n(e1, e2, nn_fin_re, nn_fin_im)
     scale = jnp.exp(jnp.asarray(log_j_scale, dtype)
                     + 3.0 * jnp.log(frequencies[None, :].astype(dtype)))
     stokes_i = ss_i.reshape(b, f) * scale

@@ -180,6 +180,48 @@ def test_simulation_gradient_with_nan_fallback(tmp_path):
     assert np.isfinite(float(g)) and float(g) != 0.0
 
 
+def test_simulation_prim_gradient_finite_f32(tmp_path):
+    """d flux / d EVERY grid cell is finite in float32, including floor-
+    density cells (rho ~ 1e-8). Regression: kb_tt_tot_cgs used to divide
+    by rho_cgs (~1e-25), whose VJP intermediate 1/rho_cgs^2 overflows
+    float32 to inf, poisoning the whole-field gradient even when every
+    pixel is finite (synchrotron.py fluid_state)."""
+    import generate_mock_simulation as gen
+    from test_loaders import BASE_CONFIG
+    from blacklight_tpu.pipeline_simulation import (
+        load_grid, make_simulation_coeff_fns)
+
+    fields = gen.make_fields(gen.DEFAULTS)
+    gen.write_athena(str(tmp_path / "m.athdf"), fields, gen.DEFAULTS)
+    cfg = parse_config(BASE_CONFIG.format(
+        fmt="athena", path=str(tmp_path / "m.athdf"), coord="sks",
+        out=str(tmp_path / "o.npz")))
+    cfg.camera_resolution = 8
+    cfg.ray_max_steps = 300
+    cfg.precision = "float32"
+
+    bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
+    grid0, _ = load_grid(cfg)
+    geom, rays, freqs = make_camera(cfg, bh_m=bh_m, bh_a=bh_a,
+                                    dtype=jnp.float32)
+    params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
+
+    def total_flux(prim):
+        grid = dataclasses.replace(grid0, prim=prim)
+        coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
+            cfg, grid, geom, freqs, rays.momentum_factors)
+        img = integrate_unpolarized(
+            rays.positions, rays.directions, rays.momentum_factors, freqs,
+            params=params, coeff_fn=coeff_fn,
+            opts=ImageOptions(fallback_nan=False), mass_msun=mass_msun,
+            camera_x=geom.cam_x, log_j_scale=log_scale)
+        return jnp.nansum(img["I_nu"])
+
+    g = np.asarray(jax.jit(jax.grad(total_flux))(grid0.prim))
+    assert np.isfinite(g).all()
+    assert (g != 0).any()
+
+
 def test_polarized_gradient_matches_fd(fixtures_dir):
     """AD gradient of total Stokes-I flux wrt a density scale through the
     FULL polarized path (coherency transport + tetrad coupling + Faraday

@@ -127,23 +127,51 @@ def test_polarized_multifrequency_consistency(fixtures_dir):
                 rtol=1e-9, atol=1e-12 * i_scale, err_msg=f"{k} freq {fi}")
 
 
-def test_polarized_chunked_dispatch_matches(fixtures_dir, monkeypatch):
-    """Large polarized bundles are chunked along the pixel axis (the path
-    materializes (S, B, 4) samples); chunked and single-call results agree
-    to executable-variant rounding."""
-    import blacklight_tpu.pipeline_simulation as ps
+def test_polarized_streaming_matches_stored(fixtures_dir):
+    """The streaming mode (segmented geodesic replay, no (S, B) sample
+    materialization) reproduces the stored-samples mode bit-for-bit: the
+    replay re-integrates the identical steps and the transfer consumes
+    identical sample values in the identical order. Also checks that the
+    window size (including one that does not divide ray_max_steps) does
+    not change a single bit."""
+    import dataclasses as dc
 
-    common = dict(camera_resolution=16, ray_max_steps=600)
-    monkeypatch.setattr(ps, "POLARIZED_CHUNK", 64)
-    cfg_c, img_c = render(fixtures_dir, "golden_polarized_rk4_32.input",
-                          **common)
-    monkeypatch.setattr(ps, "POLARIZED_CHUNK", 1 << 30)
-    cfg_f, img_f = render(fixtures_dir, "golden_polarized_rk4_32.input",
-                          **common)
-    np.testing.assert_array_equal(img_c["_flags"], img_f["_flags"])
-    for k in ("I_nu", "Q_nu", "U_nu", "V_nu"):
-        a, b = np.asarray(img_c[k]), np.asarray(img_f[k])
-        scale = np.nanmax(np.abs(np.asarray(img_f["I_nu"])))
-        np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
-                                   rtol=1e-7, atol=1e-9 * scale,
-                                   err_msg=k)
+    from blacklight_tpu import pipeline, read_config
+    from blacklight_tpu.camera import make_camera
+    from blacklight_tpu.ops import geodesic
+    from blacklight_tpu.pipeline_simulation import (
+        load_grid, make_simulation_coeff_fns)
+    from blacklight_tpu.transfer.polarized import integrate_polarized
+    from blacklight_tpu.transfer.unpolarized import ImageOptions
+
+    cfg = read_config(str(fixtures_dir / "golden_polarized_rk4_32.input"))
+    cfg.simulation_file = str(fixtures_dir / "mock_small.athdf")
+    cfg.camera_resolution = 8
+    cfg.ray_max_steps = 600
+
+    bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
+    grid, _ = load_grid(cfg)
+    geom, rays, freqs = make_camera(cfg, bh_m=bh_m, bh_a=bh_a)
+    params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
+    coeff_fn, cell_fn, log_scale = make_simulation_coeff_fns(
+        cfg, grid, geom, freqs, rays.momentum_factors, polarized=True)
+
+    def run(**kw):
+        return integrate_polarized(
+            rays.positions, rays.directions, rays.momentum_factors, freqs,
+            params=params, coeff_fn=coeff_fn, opts=ImageOptions(),
+            mass_msun=mass_msun, camera_x=geom.cam_x,
+            camera_u_con=geom.u_con, camera_u_cov=geom.u_cov,
+            camera_vert_con_c=geom.vert_con_c, log_j_scale=log_scale, **kw)
+
+    stored = geodesic.trace_geodesics(rays.positions, rays.directions,
+                                      params)
+    img_stored = run(stored=stored)
+    img_stream = run()                 # default window
+    img_w17 = run(window=17)           # 600 % 17 != 0: overrun masking
+
+    for k in ("I_nu", "Q_nu", "U_nu", "V_nu", "_flags", "_n_samples"):
+        np.testing.assert_array_equal(np.asarray(img_stream[k]),
+                                      np.asarray(img_stored[k]), err_msg=k)
+        np.testing.assert_array_equal(np.asarray(img_w17[k]),
+                                      np.asarray(img_stored[k]), err_msg=k)
