@@ -139,23 +139,36 @@ def fluid_state(pos, samples, spin, plasma: PlasmaParams, rho_unit: float,
         bph = (bb3 + bt * uph) / ut
         bcov_t, bcov_r, bcov_th, bcov_ph = sks.lower_sks(m, bt, br, bth, bph)
         b_sq = bcov_t * bt + bcov_r * br + bcov_th * bth + bcov_ph * bph
-    bb_cgs = jnp.sqrt(jnp.maximum(b_sq, 0.0)) * b_unit
+    # sqrt floor at 1e-30 (not 0): sqrt'(0) = inf, so zero-field cells
+    # (b_sq == 0 outside the torus) would NaN reverse-mode through every
+    # product even though their emission is masked. 1e-30 code units ~
+    # 3e-13 G - far below any physical field.
+    bb_cgs = jnp.sqrt(jnp.maximum(b_sq, 1e-30)) * b_unit
     # Clamp divisors at point of use: rho/pgas may be an exact-zero user
     # fallback (legal input); a 0/0 NaN primal here would poison
     # reverse-mode through later products even when masked forward.
-    sigma = b_sq / jnp.maximum(rho, 1e-30)
-    beta_inv = b_sq / jnp.maximum(2.0 * pgas, 1e-30)
+    # Floors sit at 1e-15, NOT epsilon: x/max(d, f)'s VJP carries
+    # num * d^-2, and jax's maximum-VJP multiplies (not selects) the
+    # cotangent by its 0/1 subgradient - an inf cotangent from f < ~1e-19
+    # becomes 0 * inf = NaN at every degenerate cell.
+    sigma = b_sq / jnp.maximum(rho, 1e-15)
+    beta_inv = b_sq / jnp.maximum(2.0 * pgas, 1e-15)
 
     # Electron temperature (simulation_coefficients.cpp:330-358)
     if plasma.model == PlasmaModel.ti_te_beta:
-        tti_tte = (plasma.rat_high + plasma.rat_low * beta_inv ** 2) \
-            / (1.0 + beta_inv ** 2)
+        # Stable form of (rat_high + rat_low b^2)/(1 + b^2): beta_inv can
+        # reach ~1e26 in float32 (pgas = 0 fallback cells), where b^2
+        # overflows and inf/inf is a NaN primal; u = 1/(1+b^2) instead
+        # passes through inf cleanly (1/inf = 0) in forward AND
+        # reverse-mode.
+        u_b = 1.0 / (1.0 + beta_inv ** 2)
+        tti_tte = plasma.rat_high * u_b + plasma.rat_low * (1.0 - u_b)
         # pgas_cgs/rho_cgs = (pgas/rho) c^2, formed from the O(1) code-unit
         # ratio: dividing by rho_cgs (~1e-25 f32) is fine forward but its
         # VJP intermediate 1/rho_cgs^2 (~1e50) overflows float32 to inf,
         # poisoning d/d rho for every cell a ray touches.
         kb_tt_tot_cgs = (plasma.mu * Physics.m_p * Physics.c ** 2) \
-            * (pgas / jnp.maximum(rho, 1e-30))
+            * (pgas / jnp.maximum(rho, 1e-15))
         if plasma.use_p:
             kb_tt_e_cgs = (1.0 + plasma.ne_ni) / (tti_tte + plasma.ne_ni) \
                 * kb_tt_tot_cgs
@@ -227,11 +240,24 @@ def pitch_angle(pos, kcov, state, spin, flat=False):
     u_dot_k = jnp.einsum("...i,...i->...", ucon, kcov)
     b_dot_k = jnp.einsum("...i,...i->...", bcon, kcov)
     b_sq = state["b_sq"]
-    denom = u_dot_k * u_dot_k * jnp.maximum(b_sq, 1e-300)
+    # 1e-16, not 1e-300: smaller floors flush to zero in float32 (0/0 NaN
+    # primal at B = 0 cells), and the division's VJP forms denom^-2,
+    # which must itself stay float32-finite (denom > ~5e-20) before it
+    # multiplies the (zero) numerator cotangent.
+    denom = u_dot_k * u_dot_k * jnp.maximum(b_sq, 1e-16)
     cos2 = jnp.minimum(b_dot_k * b_dot_k / denom, 1.0)
     sin2 = 1.0 - cos2
-    sin_theta_b = jnp.sqrt(sin2)
-    cos_theta_b = jnp.sqrt(cos2) * jnp.where(b_dot_k >= 0.0, 1.0, -1.0)
+    # sqrt through a where, not a floor: sqrt'(0) = inf, and exact zeros
+    # DO occur (B = 0 cells give cos2 = 0; field-aligned k gives
+    # sin2 = 0). where's transpose is a select, so the inf cotangent is
+    # discarded exactly; the 1e-24 cutoff changes the forward value by
+    # at most 1e-12.
+    def _safe_sqrt(z):
+        return jnp.where(z > 1e-24, jnp.sqrt(jnp.where(z > 1e-24, z, 1.0)),
+                         0.0)
+
+    sin_theta_b = _safe_sqrt(sin2)
+    cos_theta_b = _safe_sqrt(cos2) * jnp.where(b_dot_k >= 0.0, 1.0, -1.0)
     return sin_theta_b, cos_theta_b, sin2, u_dot_k
 
 
@@ -279,11 +305,12 @@ def _bessel_k01_small(x):
     return k0, k1
 
 
-def _bessel_k01_large(x):
+def _bessel_k01_large(x, scaled=False):
     """K0, K1 for x >= 2 by the Steed continued fraction CF2 (Temme's
     method as in Thompson & Barnett 1987; the mu = 0 case): evaluates
     K0 = sqrt(pi/2x) e^{-x}/S and the K1 ladder without tabulated
-    coefficients, to full double precision in ~25 iterations."""
+    coefficients, to full double precision in ~25 iterations. scaled
+    drops the e^{-x} factor (returns e^x K), which cannot underflow."""
     a1 = 0.25
     b = 2.0 * (1.0 + x)
     d = 1.0 / b
@@ -307,9 +334,59 @@ def _bessel_k01_large(x):
         h = h + delh
         s = s + q * delh
     h = a1 * h
-    k0 = jnp.sqrt(jnp.pi / (2.0 * x)) * jnp.exp(-x) / s
+    pref = jnp.sqrt(jnp.pi / (2.0 * x))
+    if not scaled:
+        pref = pref * jnp.exp(-x)
+    k0 = pref / s
     k1 = k0 * (x + 0.5 - h) / x
     return k0, k1
+
+
+def _bessel_k01_asymptotic(x, terms: int = 8):
+    """e^x K0, e^x K1 from the large-x asymptotic series
+    e^x K_nu = sqrt(pi/2x) sum_k a_k(nu) x^-k,
+    a_k(nu) = a_{k-1} (4 nu^2 - (2k-1)^2)/(8k). Optimal-truncation error
+    at the x = 3 switchover is ~1e-3 relative, decaying like e^{-2x}
+    (5e-5 at x = 5, 2e-9 at x = 10) - used only for the float32 path,
+    whose CF2 intermediates overflow single precision."""
+    inv = 1.0 / x
+    p0 = jnp.ones_like(x)
+    p1 = jnp.ones_like(x)
+    a0 = 1.0
+    a1 = 1.0
+    xk = inv
+    for k in range(1, terms + 1):
+        m = (2.0 * k - 1.0) ** 2
+        a0 *= (0.0 - m) / (8.0 * k)
+        a1 *= (4.0 - m) / (8.0 * k)
+        p0 = p0 + a0 * xk
+        p1 = p1 + a1 * xk
+        xk = xk * inv
+    pref = jnp.sqrt(jnp.pi / (2.0 * x))
+    return pref * p0, pref * p1
+
+
+def _bessel_k012_scaled(x):
+    """(e^x K0, e^x K1, e^x K2): underflow-free Bessel K for ratio work.
+
+    K(x) underflows float32 near x ~ 80 (0/0 NaN in K ratios) while the
+    scaled values stay O(sqrt(pi/2x)); the thermal rotativities' Bessel
+    ratios use these so cold cells (theta_e -> THETA_E_ZERO, x -> 100)
+    stay finite in float32 forward AND reverse. The large branch is the
+    exact CF2 in float64 and the asymptotic series in float32 (the CF2's
+    internal recurrences overflow single precision)."""
+    small = x <= 3.0
+    xs = jnp.where(small, jnp.maximum(x, 1e-30), 3.0)
+    xl = jnp.where(small, 3.0, x)
+    k0_s, k1_s = _bessel_k01_small(xs)
+    e = jnp.exp(xs)
+    if x.dtype == jnp.float64:
+        k0_l, k1_l = _bessel_k01_large(xl, scaled=True)
+    else:
+        k0_l, k1_l = _bessel_k01_asymptotic(xl)
+    k0 = jnp.where(small, k0_s * e, k0_l)
+    k1 = jnp.where(small, k1_s * e, k1_l)
+    return k0, k1, k0 + 2.0 * k1 / x
 
 
 def _bessel_k(order: int, x):
@@ -474,17 +551,29 @@ def powerlaw_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     pp = plasma.power_p
     nu_c = Physics.e * state["bb_cgs"][..., None] \
         / (2.0 * Math.pi * Physics.m_e * Physics.c)
-    ratio = nu_cgs / jnp.maximum(nu_c * sin_b, 1e-300)
+    # Floor 1e-12 (f32-representable, VJP-finite), not 1e-300 (flushes to
+    # 0 in f32 -> inf ratio); sin clamped away from {0, 1} for the
+    # fractional sin powers whose VJPs blow up at the endpoints. Both
+    # floors only move exactly-degenerate cells (B = 0 / field exactly
+    # (anti)parallel or perpendicular to k), whose coefficients vanish.
+    ncs = jnp.maximum(nu_c * sin_b, 1e-12)
+    sin_c = jnp.clip(sin_b, 1e-6, 1.0 - 1e-7)
+    ratio = nu_cgs / ncs
 
     # Emissivity in units of e^2 nu0^2 / c (matching log_j_scale)
     var_a = jnp.power(ratio, -(pp - 1.0) / 2.0)
     coeff_j = frac * n_e * nu_c * (nu0 / nu_cgs) ** 2 * consts["jj"] * sin_b * var_a
     out["j_i"] = coeff_j
     if polarized:
-        var_b = cos_b / sin_b
-        var_c = 1.0 / jnp.sqrt(nu_cgs / (3.0 * nu_c * sin_b))
+        # (cos/sin) * sqrt(3 nu_c sin / nu) with the sin cancelled
+        # algebraically: the literal product is 0 * inf at sin = 0.
+        arg = 3.0 * ncs / nu_cgs
+        root = jnp.where(arg > 1e-30,
+                         jnp.sqrt(jnp.where(arg > 1e-30, arg, 1.0)), 0.0)
+        coeff_j_nosin = frac * n_e * nu_c * (nu0 / nu_cgs) ** 2 \
+            * consts["jj"] * var_a
         out["j_q"] = coeff_j * consts["jj_q"]
-        out["j_v"] = coeff_j * consts["jj_v"] * var_b * var_c
+        out["j_v"] = coeff_j_nosin * consts["jj_v"] * cos_b * root
 
     # Absorptivity (true invariant CGS): base has units e^2/(m_e c);
     # invariant alpha * nu handled by the nu-free form as in thermal.
@@ -493,31 +582,45 @@ def powerlaw_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     coeff_a = frac * n_e * ka * consts["aa"] * var_a2
     out["alpha_i"] = coeff_a
     if polarized:
-        var_b2 = jnp.power(jnp.power(sin_b, -1.92) * 3.1 - 3.1, 0.512)
+        var_b2 = jnp.power(jnp.power(sin_c, -1.92) * 3.1 - 3.1, 0.512)
         var_c2 = 1.0 / jnp.sqrt(ratio)
         var_d2 = jnp.where(cos_b >= 0.0, 1.0, -1.0)
         out["alpha_q"] = coeff_a * consts["aa_q"]
         out["alpha_v"] = coeff_a * consts["aa_v"] * var_b2 * var_c2 * var_d2
 
-        # Rotativities (M 40-42)
-        var_a3 = n_e * ka * nu_cgs / (nu_c * sin_b)
-        var_b3 = nu_c * sin_b / nu_cgs
-        var_c3 = var_b3 * var_b3
-        var_d3 = var_c3 * var_b3
-        var_e3 = 1.0 - jnp.power(
+        # Rotativities (M 40-42), with the 1/(nu_c sin) of var_a3
+        # cancelled into var_d3/var_c3 (the literal products are
+        # inf * 0 at B = 0): a3 d3 = n_e ka (nu_c sin)^2 / nu^2 and
+        # a3 c3 f3 = n_e ka nu_c cos / nu.
+        var_e3 = 1.0 - jnp.power(jnp.maximum(
             2.0 * nu_c * plasma.gamma_min ** 2 * sin_b / (3.0 * nu_cgs),
-            pp / 2.0 - 1.0)
-        var_f3 = cos_b / sin_b
-        coeff_r = frac * consts["rho"] * var_a3
-        out["rho_q"] = coeff_r * consts["rho_q"] * var_d3 * var_e3
-        out["rho_v"] = coeff_r * consts["rho_v"] * var_c3 * var_f3
+            1e-20), pp / 2.0 - 1.0)
+        coeff_r = frac * consts["rho"] * n_e * ka
+        out["rho_q"] = coeff_r * consts["rho_q"] \
+            * (ncs / nu_cgs) ** 2 * var_e3
+        out["rho_v"] = coeff_r * consts["rho_v"] * nu_c * cos_b / nu_cgs
     return out
 
 
 def _bridge(low, high, x):
     """Low/high-frequency bridging (low^-x + high^-x)^(-1/x), homogeneous of
-    degree 1 so the j unit scale factors through."""
-    return jnp.power(jnp.power(low, -x) + jnp.power(high, -x), -1.0 / x)
+    degree 1 so the j unit scale factors through.
+
+    Evaluated as m (1 + (m/M)^x)^(-1/x) with m/M = min/max (exact
+    algebra): the literal form's low^-x is inf at low = 0 (degenerate
+    cells) and its VJP NaNs even under a zero cotangent; the ratio form
+    keeps every intermediate in [0, 2]."""
+    m = jnp.minimum(low, high)
+    mm = jnp.maximum(low, high)
+    # Denominator floor is dtype-aware: the division VJP forms mm^-2,
+    # which overflows float32 below ~5e-20. Pairs that small bridge to a
+    # physically-zero coefficient either way (tau contribution < 1e-6).
+    tiny = 1e-150 if jnp.asarray(m).dtype == jnp.float64 else 1e-18
+    ok = mm > tiny
+    r = jnp.where(ok, m, 0.0) / jnp.where(ok, mm, 1.0)
+    pos = r > 1e-30
+    rx = jnp.where(pos, jnp.power(jnp.where(pos, r, 1.0), x), 0.0)
+    return m * jnp.power(1.0 + rx, -1.0 / x)
 
 
 def kappa_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
@@ -535,7 +638,12 @@ def kappa_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     nu_c = Physics.e * state["bb_cgs"][..., None] \
         / (2.0 * Math.pi * Physics.m_e * Physics.c)
     nu_kappa = nu_c * w * w * kap * kap * sin_b
-    xx = nu_cgs / jnp.maximum(nu_kappa, 1e-300)
+    # Floor 1e-12 (f32-representable with finite VJP), not 1e-300; sin
+    # clamped away from {0, 1} for the fractional sin powers (endpoint
+    # VJPs are inf). Only exactly-degenerate cells move, and their
+    # emissivities vanish through sin_b / xx powers.
+    xx = nu_cgs / jnp.maximum(nu_kappa, 1e-12)
+    sin_cl = jnp.clip(sin_b, 1e-6, 1.0 - 1e-7)
 
     # Emissivities, scaled by e^2 nu0^2 / c
     var_a = frac * n_e * nu_c * (nu0 / nu_cgs) ** 2
@@ -545,9 +653,9 @@ def kappa_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     c_high = consts["jj_high"] * var_a * var_c
     out["j_i"] = _bridge(c_low, c_high, consts["jj_x_i"])
     if polarized:
-        var_d = jnp.power(jnp.power(sin_b, -2.4) - 1.0, 0.48)
+        var_d = jnp.power(jnp.power(sin_cl, -2.4) - 1.0, 0.48)
         var_e = jnp.power(xx, -0.35)
-        var_f = jnp.power(jnp.power(sin_b, -2.5) - 1.0, 0.44)
+        var_f = jnp.power(jnp.power(sin_cl, -2.5) - 1.0, 0.44)
         var_g = 1.0 / jnp.sqrt(xx)
         var_h = jnp.where(cos_b >= 0.0, 1.0, -1.0)
         out["j_q"] = -_bridge(c_low * consts["jj_low_q"],
@@ -564,9 +672,9 @@ def kappa_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     out["alpha_i"] = _bridge(a_low, a_high * consts["aa_high_i"],
                              consts["aa_x_i"])
     if polarized:
-        var_d2 = jnp.power(jnp.power(sin_b, -2.28) - 1.0, 0.446)
+        var_d2 = jnp.power(jnp.power(sin_cl, -2.28) - 1.0, 0.446)
         var_e2 = jnp.power(xx, -0.35)
-        var_f2 = jnp.sqrt(jnp.power(sin_b, -2.05) - 1.0)
+        var_f2 = jnp.sqrt(jnp.power(sin_cl, -2.05) - 1.0)
         var_g2 = 1.0 / jnp.sqrt(xx)
         var_h2 = jnp.where(cos_b >= 0.0, 1.0, -1.0)
         out["alpha_q"] = -_bridge(a_low * consts["aa_low_q"],
@@ -588,7 +696,7 @@ def kappa_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
         def rho_v_term(v):
             a, bb = v
             return consts["rho_v"] * var_b3 * a \
-                * (1.0 - 0.17 * jnp.log(1.0 + bb * var_c3))
+                * (1.0 - 0.17 * jnp.log1p(bb * var_c3))
 
         fr = consts["rho_frac"]
         out["rho_q"] = (1.0 - fr) * rho_q_term(consts["rho_q_low"]) \
@@ -656,10 +764,18 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     nu_2 = nu_cgs * nu_cgs
     nu_c = Physics.e * state["bb_cgs"][..., None] \
         / (2.0 * Math.pi * Physics.m_e * Physics.c)
+    # Floor at 1e-12 Hz, not epsilon: xx = nu/nu_s must keep xx**(4/3)
+    # (rho_q's var_d2) inside float32 range AND the division VJP's
+    # nu * nu_s^-2 finite; degenerate cells (B = 0, theta_e = 0,
+    # field-aligned k) have exp(-xx^(1/3)) = 0 either way, so the
+    # coefficient is unchanged.
     nu_s = 2.0 / 9.0 * nu_c * theta_e ** 2 * sin_b
-    nu_s = jnp.maximum(nu_s, 1e-300)
+    nu_s = jnp.maximum(nu_s, 1e-12)
 
-    xx = nu_cgs / nu_s
+    # Cap xx so every power of it (up to xx^{4/3} in rho_q) AND their VJP
+    # factors stay float32-finite; beyond 1e20 the emission is
+    # exp(-xx^{1/3}) = exp(-2e6) = 0 regardless.
+    xx = jnp.minimum(nu_cgs / nu_s, 1e20)
     xx_1_3 = jnp.cbrt(xx)
     xx_1_2 = jnp.sqrt(xx)
     xx_1_6 = jnp.sqrt(xx_1_3)
@@ -671,10 +787,15 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     j_i = coefficient * var_a * var_c * var_c
     out["j_i"] = j_i
     if polarized:
-        var_d = (7.0 * theta_e ** 0.96 + 35.0) / (10.0 * theta_e ** 0.96 + 75.0) \
-            * var_b
+        # theta_e floored at 1e-15 inside pow/divide: x**0.96's VJP
+        # carries x**(-0.04) (inf at 0) and cos_b/theta_e is a 0-division
+        # at cold cells; both make NaN reverse-mode primal-products even
+        # though j_q/j_v vanish there through `coefficient`.
+        theta_f = jnp.maximum(theta_e, 1e-15)
+        var_d = (7.0 * theta_f ** 0.96 + 35.0) \
+            / (10.0 * theta_f ** 0.96 + 75.0) * var_b
         var_e = xx_1_2 + var_d * xx_1_6
-        var_f = cos_b / theta_e
+        var_f = cos_b / theta_f
         var_g = (Math.pi / 3.0 + Math.pi / 3.0 * xx_1_3 + 2.0 / 300.0 * xx_1_2
                  + 2.0 / 19.0 * Math.pi * xx_1_3 ** 2)
         out["j_q"] = -coefficient * var_a * var_e * var_e
@@ -683,7 +804,13 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     # Kirchhoff absorption: alpha_inv = j_cgs/B_nu * nu. With j carrying the
     # e^2/(c nu0^2) scale, alpha_inv = j_scaled * expm1(h nu/kT) * K where
     # K = e^2 c nu / (2 h nu0^2) - computed in log space for float32.
-    hnu_kt = Physics.h * nu_cgs / kb_tt_e
+    # kb floor 1e-25 erg keeps the division's VJP (hnu/kb^2) inside
+    # float32; the 87 cap keeps expm1 finite (e^88 overflows f32). Beyond
+    # hnu/kT = 87 the step is totally opaque either way (delta_tau
+    # saturates DELTA_TAU_MAX), and a finite kirchhoff avoids the
+    # reference's inf alpha (j = 0 there would make 0 * inf = NaN).
+    hnu_kt = jnp.minimum(Physics.h * nu_cgs
+                         / jnp.maximum(kb_tt_e, 1e-18), 87.0)
     log_k = (2.0 * math.log(Physics.e) + math.log(Physics.c)
              - math.log(2.0 * Physics.h) - 2.0 * math.log(nu0))
     kirchhoff = jnp.expm1(hnu_kt) * math.exp(log_k)
@@ -700,10 +827,13 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
             / (Physics.m_e * Physics.c * nu_2)
         coefficient_v = frac * 2.0 * n_e * Physics.e ** 2 * nu_c * cos_b \
             / (Physics.m_e * Physics.c * nu_cgs)
-        inv_theta = 1.0 / jnp.maximum(theta_e, THETA_E_ZERO)
-        kk_0 = _bessel_k(0, inv_theta)
-        kk_1 = _bessel_k(1, inv_theta)
-        kk_2 = _bessel_k(2, inv_theta)
+        inv_theta = jnp.maximum(1.0 / jnp.maximum(theta_e, THETA_E_ZERO),
+                                1e-15)
+        # e^x-scaled K's: the unscaled values underflow float32 near
+        # x ~ 80 (reachable: theta_e -> THETA_E_ZERO gives x = 100) and
+        # their ratios become 0/0 NaN primals. All uses below are ratios,
+        # where the e^x factor cancels exactly.
+        kk_0s, kk_1s, kk_2s = _bessel_k012_scaled(inv_theta)
         xx_neg_1_2 = 1.0 / jnp.sqrt(xx)
         var_a2 = 2.011 * jnp.exp(-19.78 * xx ** (-0.5175))
         var_b2 = jnp.cos(39.89 * xx_neg_1_2) * jnp.exp(-70.16 * xx ** (-0.6))
@@ -712,10 +842,21 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
         var_e2 = 0.5 * (1.0 + jnp.tanh(10.0 * jnp.log(0.6648 * xx_neg_1_2)))
         f_0 = var_a2 - var_b2 - var_c2
         f_m = f_0 + (var_c2 - var_d2) * var_e2
-        delta_jj_5 = 0.4379 * jnp.log(1.0 + 1.3414 * xx ** (-0.7515))
-        factor_q = f_m * (kk_1 / kk_2 + 6.0 * theta_e)
-        factor_v = (kk_0 - delta_jj_5) / kk_2
-        factor_v = jnp.where((factor_v < 0.0) | (factor_v > 1.0), 1.0, factor_v)
+        # log1p, not log(1 + z): z ~ 1e-15 at capped xx rounds 1 + z to 1
+        # in float32, flushing delta to an exact 0 whose log is -inf.
+        delta_jj_5 = 0.4379 * jnp.log1p(1.3414 * xx ** (-0.7515))
+        factor_q = f_m * (kk_1s / kk_2s + 6.0 * theta_e)
+        # factor_v = (K0 - delta)/K2, computed in the e^x-scaled frame:
+        # delta e^x overflows exactly when delta > K0, i.e. when the
+        # reference's value would be negative and trapped to 1 anyway
+        # (K0 < K2 makes > 1 impossible), so the log-space comparison
+        # reproduces the trap (simulation_coefficients.cpp:526-556)
+        # without ever forming an inf.
+        log_de = jnp.log(jnp.maximum(delta_jj_5, 1e-30)) + inv_theta
+        log_k0s = jnp.log(kk_0s)
+        ok_v = log_de <= log_k0s
+        de = jnp.exp(jnp.minimum(log_de, log_k0s))
+        factor_v = jnp.where(ok_v, (kk_0s - de) / kk_2s, 1.0)
         cold = theta_e < THETA_E_ZERO
         out["rho_q"] = coefficient_q * jnp.where(cold, 0.0, factor_q)
         out["rho_v"] = coefficient_v * jnp.where(cold, 1.0, factor_v)

@@ -239,7 +239,11 @@ def _make_dp_body(params: GeodesicParams):
         k0 = rhs(y9)
         # Cap |h| so one accepted step obeys the reference's sample-density
         # bound delta_s <= ray_step * r (replaces dense-output subdivision).
-        ds_dlam = jnp.abs(k0[..., 8]) + 1e-300
+        # Floor at 1e-10, not epsilon: 1/x's VJP carries 1/x^2, which
+        # overflows float32 (-> 0 * inf = NaN in reverse-mode) for
+        # x < ~1e-19 even under a zero cotangent; near-stationary lanes
+        # produce a huge h_cap either way and the min() below ignores it.
+        ds_dlam = jnp.maximum(jnp.abs(k0[..., 8]), 1e-10)
         h_cap = params.ray_step * r / ds_dlam
         h = -jnp.minimum(jnp.abs(carry.h), h_cap)
 
@@ -276,9 +280,18 @@ def _make_dp_body(params: GeodesicParams):
         err = jnp.max(jnp.abs(y5[..., :8] - y4[..., :8]) / scale, axis=-1)
 
         accept = err <= 1.0
-        # Step-size update (geodesics.cpp:197-224)
-        err_safe = jnp.maximum(err, 1e-300)
-        fac_ideal = _DP_ERR_FACTOR * err_safe ** (-_DP_ERR_POWER)
+        # Step-size update (geodesics.cpp:197-224). AD-safe pow input:
+        # x**(-0.2)'s VJP carries x**(-1.2), which overflows float32
+        # (-> inf -> 0 * inf = NaN in reverse-mode) for err < ~1e-32 even
+        # under a zero cotangent - and parked/exact lanes do reach such
+        # err. Lanes with err <= 1e-10 clip to _DP_MAX_FACTOR anyway
+        # (0.9 * (1e-10)^-0.2 = 90 > 10), so routing them around the pow
+        # is forward-exact.
+        tiny_err = err <= 1e-10
+        err_safe = jnp.where(tiny_err, 1.0, jnp.maximum(err, 1e-300))
+        fac_ideal = jnp.where(
+            tiny_err, _DP_MAX_FACTOR,
+            _DP_ERR_FACTOR * err_safe ** (-_DP_ERR_POWER))
         fac_rej = jnp.maximum(jnp.where(jnp.isfinite(err), fac_ideal, _DP_MIN_FACTOR),
                               _DP_MIN_FACTOR)
         fac_acc = jnp.clip(fac_ideal, _DP_MIN_FACTOR, _DP_MAX_FACTOR)

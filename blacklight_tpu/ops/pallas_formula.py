@@ -60,15 +60,19 @@ def _formula_coeffs_c(x0, x1, x2, x3, k0, k1, k2, k3, mom, nu, fp, camera_x):
     """Componentwise formula-model invariant j (scaled) and alpha at one
     frequency (models/formula.py semantics; bad -> finite placeholder +
     mask)."""
-    keep, bad, n_n0, u_dot_k = _formula_geom_c(
+    keep, bad, n_n0, u_dot_k, _, _ = _formula_geom_c(
         x0, x1, x2, x3, k0, k1, k2, k3, fp, camera_x)
     return _formula_jalpha_c(keep, bad, n_n0, u_dot_k, mom, nu, fp)
 
 
-def _formula_geom_c(x0, x1, x2, x3, k0, k1, k2, k3, fp, camera_x):
+def _formula_geom_c(x0, x1, x2, x3, k0, k1, k2, k3, fp, camera_x,
+                    r0=None, h=None):
     """Frequency-independent part of the formula coefficients: spatial
     cuts, disk 4-velocity, Gaussian density profile, u.k (models/formula.py
-    re-derivation of formula_coefficients.cpp:74-162)."""
+    re-derivation of formula_coefficients.cpp:74-162). r0/h override the
+    static fp values with runtime (traced) ones for the differentiable
+    kernel. Also returns (r, cos theta) for the density-profile tangent
+    weights."""
     bh_a = fp.bh_a
     r = _radius_c(x1, x2, x3, bh_a)
 
@@ -132,10 +136,12 @@ def _formula_geom_c(x0, x1, x2, x3, k0, k1, k2, k3, fp, camera_x):
     u2 = sth * (r * cph - bh_a * sph) * uph_bl
     u3 = jnp.zeros_like(u0)
 
-    n_n0 = jnp.exp(-0.5 * (r * r / (fp.r0 * fp.r0)
-                           + fp.h * fp.h * cth * cth))
+    r0_v = fp.r0 if r0 is None else r0
+    h_v = fp.h if h is None else h
+    n_n0 = jnp.exp(-0.5 * (r * r / (r0_v * r0_v)
+                           + h_v * h_v * cth * cth))
     u_dot_k = u0 * k0 + u1 * k1 + u2 * k2 + u3 * k3
-    return keep, bad, n_n0, u_dot_k
+    return keep, bad, n_n0, u_dot_k, r, cth
 
 
 def _formula_jalpha_c(keep, bad, n_n0, u_dot_k, mom, nu, fp, cn0=None,
@@ -180,21 +186,28 @@ def _formula_jalpha_c(keep, bad, n_n0, u_dot_k, mom, nu, fp, cn0=None,
     return out
 
 
+_DIFFABLE_PARAMS = ("cn0", "r0", "h")
+
+
 def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
                  camera_x, log_j_scale: float, integrator: str = "dp",
-                 diff_cn0: bool = False):
+                 diff_params: tuple = ()):
     """Kernel factory: fused geodesics + RT for `integrator` in
     {"dp", "rk4", "rk2"} at one or more frequencies (nus: tuple of floats). The
     geometry/velocity part of the coefficients is shared across
     frequencies; each frequency adds only its power laws and an (I, tau)
     tile pair to the carry.
 
-    diff_cn0: take the emission amplitude cn0 as a runtime SMEM scalar
-    (first input ref) and carry forward-mode tangent accumulators
-    (dI/dcn0, dtau/dcn0 per frequency), emitting per-ray dI/dcn0 outputs
-    after the I outputs. The ray trajectory is independent of cn0, so the
-    tangent rides along at a few extra VPU ops per step instead of a
-    reverse pass over the whole integration."""
+    diff_params: subset of _DIFFABLE_PARAMS, in order. The named emission
+    parameters become one runtime SMEM vector (first input ref, one value
+    per name) and the kernel carries forward-mode tangent accumulators
+    (dI/dp, dtau/dp per parameter per frequency), emitting per-ray dI/dp
+    outputs after the I outputs (parameter-major). The ray trajectory is
+    independent of all plasma parameters, so the tangents ride along at a
+    few extra VPU ops per step instead of a reverse pass over the whole
+    integration. Tangent weights: alpha is linear in cn0; j and alpha both
+    scale with the Gaussian density profile, whose log-derivatives wrt
+    r0 / h are r^2/r0^3 and -h cos^2(theta)."""
     spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
     x_unit = Physics.gg_msun * mass_msun / (Physics.c * Physics.c)
     nus = tuple(float(v) for v in nus)
@@ -207,17 +220,23 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
         return geodesic_rhs_c(x1, x2, x3, p0, p1, p2, p3, spin, mass,
                               flat=flat, with_distance=(integrator == "dp"))
 
+    diff_params = tuple(diff_params)
+    assert all(p in _DIFFABLE_PARAMS for p in diff_params), diff_params
+    nd = len(diff_params)
+
     def kernel(*refs):
-        if diff_cn0:
-            cn0r, refs = refs[0], refs[1:]
-            cn0 = cn0r[0]
-        else:
-            cn0 = None
+        rt = {}
+        if nd:
+            pr, refs = refs[0], refs[1:]
+            rt = {name: pr[i] for i, name in enumerate(diff_params)}
+        cn0 = rt.get("cn0")
+        r0 = rt.get("r0")
+        h_par = rt.get("h")
         (x0r, x1r, x2r, x3r, p0r, p1r, p2r, p3r, momr) = refs[:9]
         i_outs = refs[9:9 + nf]
-        if diff_cn0:
-            di_outs = refs[9 + nf:9 + 2 * nf]
-            flag_out, nsamp_out = refs[9 + 2 * nf:]
+        if nd:
+            di_outs = refs[9 + nf:9 + (1 + nd) * nf]
+            flag_out, nsamp_out = refs[9 + (1 + nd) * nf:]
         else:
             flag_out, nsamp_out = refs[9 + nf:]
         x0, x1, x2, x3 = x0r[:], x1r[:], x2r[:], x3r[:]
@@ -230,12 +249,12 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
         # as int32 0/1 and convert to bool at use
         i_false = jnp.zeros(shape, jnp.int32)
 
-        r0 = _radius_c(x1, x2, x3, spin)
+        r_init = _radius_c(x1, x2, x3, spin)
 
         state0 = dict(
             n=jnp.zeros((), jnp.int32),
             x0=x0, x1=x1, x2=x2, x3=x3, p1=p1, p2=p2, p3=p3,
-            h=-params.ray_step * r0,
+            h=-params.ray_step * r_init,
             alive=jnp.ones(shape, jnp.int32), trunc=i_false, flag=i_false,
             bad=i_false, r_mid_prev=zero,
             n_samp=jnp.zeros(shape, jnp.int32),
@@ -244,9 +263,9 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
         for f_i in range(nf):
             state0[f"I{f_i}"] = zero
             state0[f"tau{f_i}"] = zero
-            if diff_cn0:
-                state0[f"dI{f_i}"] = zero
-                state0[f"dtau{f_i}"] = zero
+            for p_i in range(nd):
+                state0[f"dI{p_i}_{f_i}"] = zero
+                state0[f"dtau{p_i}_{f_i}"] = zero
 
         def transfer_update(s, valid, bad_acc, mx0, mx1, mx2, mx3,
                             mk0, mk1, mk2, mk3, h, out):
@@ -261,8 +280,16 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
             sk1 = jnp.where(valid, mk1, 1.0)
             sk2 = jnp.where(valid, mk2, 0.0)
             sk3 = jnp.where(valid, mk3, 0.0)
-            keep, gbad, n_n0, u_dot_k = _formula_geom_c(
-                sx0, sx1, sx2, sx3, sk0, sk1, sk2, sk3, fp, cam)
+            keep, gbad, n_n0, u_dot_k, r_s, cth_s = _formula_geom_c(
+                sx0, sx1, sx2, sx3, sk0, sk1, sk2, sk3, fp, cam,
+                r0=r0, h=h_par)
+            if nd:
+                # Log-derivative of the Gaussian density profile wrt the
+                # disk shape parameters; j and alpha both scale with n_n0.
+                r0_v = fp.r0 if r0 is None else r0
+                h_v = fp.h if h_par is None else h_par
+                w_r0 = r_s * r_s / (r0_v * r0_v * r0_v)
+                w_h = -h_v * cth_s * cth_s
             for f_i, nu in enumerate(nus):
                 j, alpha, cbad, alpha_unit = _formula_jalpha_c(
                     keep, gbad, n_n0, u_dot_k, mom, nu, fp, cn0=cn0,
@@ -275,6 +302,7 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
 
                 dl_cgs = jnp.where(valid, -h, 0.0) * (x_unit / nu) / mom
                 pos_alpha = alpha > 0.0
+                inv_alpha = 1.0 / jnp.where(pos_alpha, alpha, 1.0)
                 ss = j / jnp.where(pos_alpha, alpha, 1.0)
                 delta_tau = alpha * dl_cgs
                 atten = jnp.exp(-s[f"tau{f_i}"])
@@ -291,30 +319,39 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
                                      0.0)
                 out[f"tau{f_i}"] = s[f"tau{f_i}"] \
                     + jnp.where(valid, dtau_eff, 0.0)
-                if diff_cn0:
-                    # Forward-mode tangent wrt cn0 (alpha = cn0 *
-                    # alpha_unit, j independent of cn0) - branch-selected
-                    # derivatives match what jax.grad produces through the
-                    # scan path's jnp.where ladder exactly.
-                    alpha_unit = jnp.where(cbad, 0.0, alpha_unit)
-                    ddt = alpha_unit * dl_cgs
-                    dss = -ss * alpha_unit \
-                        / jnp.where(pos_alpha, alpha, 1.0)
+                if nd:
+                    exp_neg_dt = jnp.exp(-delta_tau)
+                for p_i, pname in enumerate(diff_params):
+                    # Forward-mode tangent of (j, alpha) wrt parameter
+                    # p_i; branch-selected derivatives match what
+                    # jax.grad produces through the scan path's
+                    # jnp.where ladder exactly.
+                    if pname == "cn0":
+                        dj = None  # j independent of cn0
+                        dalpha = jnp.where(cbad, 0.0, alpha_unit)
+                    else:
+                        w = w_r0 if pname == "r0" else w_h
+                        dj = j * w
+                        dalpha = alpha * w
+                    ddt = dalpha * dl_cgs
+                    dss = (-ss * dalpha if dj is None
+                           else (dj - ss * dalpha)) * inv_alpha
                     dcontrib = jnp.where(
                         pos_alpha,
                         jnp.where(thin,
-                                  dss * em
-                                  + ss * jnp.exp(-delta_tau) * ddt,
+                                  dss * em + ss * exp_neg_dt * ddt,
                                   dss),
-                        0.0)
+                        0.0 if dj is None else dj * dl_cgs)
                     # tau == inf => atten == 0: downstream contributions
                     # and their tangents vanish (guard avoids 0 * inf)
                     datten = jnp.where(atten > 0.0,
-                                       -atten * s[f"dtau{f_i}"], 0.0)
-                    out[f"dI{f_i}"] = s[f"dI{f_i}"] + jnp.where(
-                        valid, dcontrib * atten + contrib * datten, 0.0)
-                    out[f"dtau{f_i}"] = s[f"dtau{f_i}"] + jnp.where(
-                        valid & pos_alpha & thin, ddt, 0.0)
+                                       -atten * s[f"dtau{p_i}_{f_i}"], 0.0)
+                    out[f"dI{p_i}_{f_i}"] = s[f"dI{p_i}_{f_i}"] \
+                        + jnp.where(valid,
+                                    dcontrib * atten + contrib * datten,
+                                    0.0)
+                    out[f"dtau{p_i}_{f_i}"] = s[f"dtau{p_i}_{f_i}"] \
+                        + jnp.where(valid & pos_alpha & thin, ddt, 0.0)
             return bad_acc
 
         A = geo._DP_A
@@ -548,11 +585,11 @@ def _make_kernel(params: geo.GeodesicParams, fp, nus, mass_msun: float,
         for f_i in range(nf):
             i_outs[f_i][:] = jnp.where(poison, jnp.nan,
                                        s[f"I{f_i}"] * i_scales[f_i])
-            if diff_cn0:
+            for p_i in range(nd):
                 # Poisoned pixels hold a constant NaN: their derivative is
                 # zero, matching jax.grad through the scan path's where.
-                di_outs[f_i][:] = jnp.where(poison, 0.0,
-                                            s[f"dI{f_i}"] * i_scales[f_i])
+                di_outs[p_i * nf + f_i][:] = jnp.where(
+                    poison, 0.0, s[f"dI{p_i}_{f_i}"] * i_scales[f_i])
         flag_out[:] = s["flag"]
         nsamp_out[:] = s["n_samp"]
 
@@ -563,7 +600,7 @@ def render_formula(positions, directions, momentum_factors, frequencies,
                    params: geo.GeodesicParams, fp, mass_msun: float,
                    camera_x, log_j_scale: float, fallback_nan: bool = True,
                    integrator: str = "dp", interpret: bool = False,
-                   cn0=None):
+                   cn0=None, diff_values=None):
     """Pallas fused render of a ray bundle.
 
     Args:
@@ -573,17 +610,27 @@ def render_formula(positions, directions, momentum_factors, frequencies,
       fp: FormulaParams (plus geometry/cut fields used by the coefficient
         function). integrator: "dp", "rk4", or "rk2". interpret: run the kernel in
         interpreter mode (CPU testing).
-      cn0: optional runtime (traced) emission amplitude overriding fp.cn0;
+      cn0: shorthand for diff_values={"cn0": cn0}.
+      diff_values: optional dict mapping a subset of {"cn0", "r0", "h"}
+        to runtime (traced) values overriding the static fp ones;
         switches to the tangent-carrying kernel, which additionally
-        returns per-ray dI_nu/dcn0 (same shape as I_nu).
+        returns per-ray dI_nu/dp for each parameter (declaration order),
+        each shaped like I_nu.
 
     Returns (I_nu (B, F) - or (B,) when a scalar frequency was given -,
-    flags (B,) bool, n_samples (B,)[, dI_dcn0 like I_nu when cn0 given]).
+    flags (B,) bool, n_samples (B,)[, list of dI_dp when diff_values]).
     """
     scalar_freq = np.ndim(frequencies) == 0
     nus = ([float(frequencies)] if scalar_freq
            else [float(v) for v in np.asarray(frequencies)])
-    diff_cn0 = cn0 is not None
+    if cn0 is not None:
+        assert diff_values is None
+        diff_values = {"cn0": cn0}
+    diff_params = () if diff_values is None else tuple(
+        p for p in _DIFFABLE_PARAMS if p in diff_values)
+    if diff_values is not None:
+        assert len(diff_params) == len(diff_values), diff_values
+    nd = len(diff_params)
     b = positions.shape[0]
     block = ROWS * LANES
     n_pad = (-b) % block
@@ -613,17 +660,18 @@ def render_formula(positions, directions, momentum_factors, frequencies,
     kernel_params = _KParams(params, fallback_nan)
     kernel = _make_kernel(kernel_params, fp, nus, mass_msun,
                           np.asarray(camera_x, np.float64), log_j_scale,
-                          integrator=integrator, diff_cn0=diff_cn0)
+                          integrator=integrator, diff_params=diff_params)
 
     nf = len(nus)
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    n_fouts = 2 * nf if diff_cn0 else nf
+    n_fouts = (1 + nd) * nf
     in_specs = [spec] * 9
     inputs = cols
-    if diff_cn0:
+    if nd:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
-        inputs = [jnp.asarray(cn0, dtype).reshape(1)] + inputs
+        inputs = [jnp.stack([jnp.asarray(diff_values[p], dtype)
+                             for p in diff_params])] + inputs
     out_shape = (
         [jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), dtype)] * n_fouts
         + [jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), jnp.int32)] * 2)
@@ -639,11 +687,93 @@ def render_formula(positions, directions, momentum_factors, frequencies,
     flags = outs[n_fouts].reshape(-1)[:b].astype(bool)
     nsamp = outs[n_fouts + 1].reshape(-1)[:b]
     i_img = imgs[0] if scalar_freq else jnp.stack(imgs, axis=-1)
-    if not diff_cn0:
+    if not nd:
         return i_img, flags, nsamp
-    dimgs = [o.reshape(-1)[:b] for o in outs[nf:2 * nf]]
-    di_img = dimgs[0] if scalar_freq else jnp.stack(dimgs, axis=-1)
-    return i_img, flags, nsamp, di_img
+    dis = []
+    for p_i in range(nd):
+        dp = [o.reshape(-1)[:b]
+              for o in outs[(1 + p_i) * nf:(2 + p_i) * nf]]
+        dis.append(dp[0] if scalar_freq else jnp.stack(dp, axis=-1))
+    return i_img, flags, nsamp, dis
+
+
+def make_formula_fit_renderer(frequencies, params: geo.GeodesicParams, fp,
+                              mass_msun: float, camera_x,
+                              log_j_scale: float, fallback_nan: bool = True,
+                              integrator: str = "dp",
+                              interpret: bool = False,
+                              fit_params: tuple = ("cn0",)):
+    """Differentiable kernel renderer for inverse problems.
+
+    Returns render(theta, positions, directions, momentum_factors) ->
+    (I_nu, flags, n_samples), theta a dict over fit_params (subset of
+    ("cn0", "r0", "h")), wrapped in jax.custom_vjp: the forward pass is
+    the fused Pallas kernel carrying one in-kernel dI/dp tangent per
+    parameter (the trajectory is independent of all plasma parameters, so
+    each tangent costs a few VPU ops per step instead of a reverse
+    sweep), and the backward contracts the saved per-ray dI/dp against
+    the incoming cotangent. positions / directions / momentum_factors are
+    wrapped in stop_gradient: camera-pose gradients must use the
+    XLA-scan path (pipeline.py), which supports full reverse-mode.
+
+    cn0 enters the image twice: linearly through the emission amplitude
+    (formula.py formula_log_j_scale - static inside the kernel, so it is
+    applied here as an exact cn0/cn0_ref factor outside) and nonlinearly
+    through the absorption alpha = cn0 * alpha_unit (the in-kernel
+    runtime tangent). log_j_scale must be formula_log_j_scale(fp), i.e.
+    consistent with cn0_ref = fp.cn0 (> 0). r0 and h enter only through
+    the Gaussian density profile (in-kernel tangents alone).
+    """
+    fit_params = tuple(p for p in _DIFFABLE_PARAMS if p in fit_params)
+    has_cn0 = "cn0" in fit_params
+    cn0_ref = float(fp.cn0)
+
+    def _run(theta, positions, directions, momentum_factors):
+        i_raw, flags, nsamp, dis = render_formula(
+            positions, directions, momentum_factors, frequencies, params,
+            fp, mass_msun, camera_x, log_j_scale,
+            fallback_nan=fallback_nan, integrator=integrator,
+            interpret=interpret, diff_values=dict(theta))
+        scale = theta["cn0"] / cn0_ref if has_cn0 else 1.0
+        return i_raw * scale, flags, nsamp, i_raw, dis, scale
+
+    @jax.custom_vjp
+    def render(theta, positions, directions, momentum_factors):
+        i_img, flags, nsamp, _, _, _ = _run(theta, positions, directions,
+                                            momentum_factors)
+        return i_img, flags, nsamp
+
+    def fwd(theta, positions, directions, momentum_factors):
+        i_img, flags, nsamp, i_raw, dis, scale = _run(
+            theta, positions, directions, momentum_factors)
+        # Product rule for cn0: I = (cn0/cn0_ref) * I_raw(alpha(cn0));
+        # poisoned pixels hold a constant NaN whose derivative is zero.
+        nanmask = jnp.isnan(i_raw)
+        di_total = {}
+        for p, di in zip(fit_params, dis):
+            d = scale * di
+            if p == "cn0":
+                d = d + i_raw / cn0_ref
+            di_total[p] = jnp.where(nanmask, 0.0, d)
+        return (i_img, flags, nsamp), (di_total, positions, directions,
+                                       momentum_factors)
+
+    def bwd(res, cts):
+        di_total, positions, directions, momentum_factors = res
+        ct_i = cts[0]
+        ct_theta = {p: jnp.sum(ct_i * d) for p, d in di_total.items()}
+        return (ct_theta, jnp.zeros_like(positions),
+                jnp.zeros_like(directions),
+                jnp.zeros_like(momentum_factors))
+
+    render.defvjp(fwd, bwd)
+
+    def wrapper(theta, positions, directions, momentum_factors):
+        return render(dict(theta), jax.lax.stop_gradient(positions),
+                      jax.lax.stop_gradient(directions),
+                      jax.lax.stop_gradient(momentum_factors))
+
+    return wrapper
 
 
 def make_formula_vjp_renderer(frequencies, params: geo.GeodesicParams, fp,
@@ -651,67 +781,17 @@ def make_formula_vjp_renderer(frequencies, params: geo.GeodesicParams, fp,
                               log_j_scale: float, fallback_nan: bool = True,
                               integrator: str = "dp",
                               interpret: bool = False):
-    """Differentiable (in cn0) kernel renderer for inverse problems.
+    """cn0-only convenience wrapper over make_formula_fit_renderer:
+    render(cn0, positions, directions, momentum_factors)."""
+    fit = make_formula_fit_renderer(
+        frequencies, params, fp, mass_msun, camera_x, log_j_scale,
+        fallback_nan=fallback_nan, integrator=integrator,
+        interpret=interpret, fit_params=("cn0",))
 
-    Returns render(cn0, positions, directions, momentum_factors) ->
-    (I_nu, flags, n_samples) wrapped in jax.custom_vjp: the forward pass
-    is the fused Pallas kernel carrying in-kernel dI/dcn0 tangents (the
-    trajectory is cn0-independent, so the tangent costs a few VPU ops per
-    step instead of a reverse sweep), and the backward contracts the
-    saved per-ray dI/dcn0 against the incoming cotangent. positions /
-    directions / momentum_factors are wrapped in stop_gradient: camera-
-    pose gradients must use the XLA-scan path (pipeline.py), which
-    supports full reverse-mode.
-
-    cn0 enters the image twice: linearly through the emission amplitude
-    (formula.py formula_log_j_scale - static inside the kernel, so it is
-    applied here as an exact cn0/cn0_ref factor outside) and nonlinearly
-    through the absorption alpha = cn0 * alpha_unit (the in-kernel
-    runtime tangent). log_j_scale must be formula_log_j_scale(fp), i.e.
-    consistent with cn0_ref = fp.cn0 (> 0).
-    """
-    cn0_ref = float(fp.cn0)
-
-    def _run(cn0, positions, directions, momentum_factors):
-        i_raw, flags, nsamp, di = render_formula(
-            positions, directions, momentum_factors, frequencies, params,
-            fp, mass_msun, camera_x, log_j_scale,
-            fallback_nan=fallback_nan, integrator=integrator,
-            interpret=interpret, cn0=cn0)
-        return i_raw * (cn0 / cn0_ref), flags, nsamp, i_raw, di
-
-    @jax.custom_vjp
     def render(cn0, positions, directions, momentum_factors):
-        i_img, flags, nsamp, _, _ = _run(cn0, positions, directions,
-                                         momentum_factors)
-        return i_img, flags, nsamp
+        return fit({"cn0": cn0}, positions, directions, momentum_factors)
 
-    def fwd(cn0, positions, directions, momentum_factors):
-        i_img, flags, nsamp, i_raw, di = _run(cn0, positions, directions,
-                                              momentum_factors)
-        # Product rule: I = (cn0/cn0_ref) * I_raw(alpha(cn0)); poisoned
-        # pixels hold a constant NaN whose derivative is zero.
-        di_total = jnp.where(jnp.isnan(i_raw), 0.0,
-                             i_raw / cn0_ref + (cn0 / cn0_ref) * di)
-        return (i_img, flags, nsamp), (di_total, positions, directions,
-                                       momentum_factors)
-
-    def bwd(res, cts):
-        di_total, positions, directions, momentum_factors = res
-        ct_i = cts[0]
-        ct_cn0 = jnp.sum(ct_i * di_total)
-        return (ct_cn0, jnp.zeros_like(positions),
-                jnp.zeros_like(directions),
-                jnp.zeros_like(momentum_factors))
-
-    render.defvjp(fwd, bwd)
-
-    def wrapper(cn0, positions, directions, momentum_factors):
-        return render(cn0, jax.lax.stop_gradient(positions),
-                      jax.lax.stop_gradient(directions),
-                      jax.lax.stop_gradient(momentum_factors))
-
-    return wrapper
+    return render
 
 
 def render_formula_dp(positions, directions, momentum_factors, frequency,

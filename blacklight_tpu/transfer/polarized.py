@@ -377,8 +377,14 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
                  - g_con[:, 0, 1:] * (jnp.einsum("Bm,Bm->B", g_con[:, 0, :], kcov)
                                       / g_con[:, 0, 0])[:, None])
             dl2 = jnp.einsum("Bab,Ba,Bb->B", g_cov[:, 1:, 1:], q, q)
+            # sqrt through a double-where: parked rays reach dl2 == 0
+            # exactly, where sqrt's VJP is 0 * inf = NaN even under the
+            # masking where.
+            dl2_pos = dl2 > 0.0
+            dl_root = jnp.where(dl2_pos,
+                                jnp.sqrt(jnp.where(dl2_pos, dl2, 1.0)), 0.0)
             state["length"] = state["length"] + jnp.where(
-                active, jnp.sqrt(jnp.maximum(dl2, 0.0)) * dl_cur * x_unit, 0.0)
+                active, dl_root * dl_cur * x_unit, 0.0)
         if opts.lam:
             state["lambda"] = state["lambda"] + jnp.where(
                 active[:, None], dl_cgs, 0.0)

@@ -28,9 +28,9 @@ def main():
     ap.add_argument("--precision", default="float32")
     ap.add_argument("--pose", action="store_true",
                     help="also differentiate wrt ray positions (camera "
-                         "pose); needs float64 - photon-ring pixel "
-                         "gradients grow exponentially along the ray and "
-                         "overflow float32")
+                         "pose) through the full geodesic integration; "
+                         "works at float32 (the dp controller's pow/div "
+                         "VJPs are float32-sanitized, ops/geodesic.py)")
     ap.add_argument("--scan", action="store_true",
                     help="force the XLA-scan reverse-mode path; default "
                          "(cn0-only, float32) uses the Pallas kernel's "

@@ -6,10 +6,15 @@ geodesic + radiative-transfer pipeline is differentiable, so a synthetic
 "observation" rendered with hidden parameters can be fit by gradient
 descent on the renderer itself.
 
-    python scripts/fit_demo.py          # ~1 minute on CPU
+    python scripts/fit_demo.py           # ~1 minute on CPU (scan path)
+    python scripts/fit_demo.py --kernel  # fused Pallas kernel path
 
 Fits log(cn0) (emission amplitude) and formula_r0 (disk radius) of the
 analytic disk model to a 32x32 target image by Adam on an L2 image loss.
+--kernel runs value+gradient through the fused Pallas kernel
+(ops/pallas_formula.make_formula_fit_renderer: in-kernel forward-mode
+tangents + custom_vjp) - the TPU-speed inverse-rendering path
+(interpret mode when no TPU is attached).
 """
 
 from __future__ import annotations
@@ -84,7 +89,15 @@ precision = float64
 
 
 def main():
+    use_kernel = "--kernel" in sys.argv
     cfg = parse_config(CONFIG)
+    if use_kernel:
+        cfg.precision = "float32"
+        jax.config.update("jax_enable_x64", False)
+        if "--tpu" not in sys.argv:
+            # Default to CPU interpret mode: probing for a TPU backend
+            # costs a remote handshake (or hangs when the tunnel is down).
+            jax.config.update("jax_platforms", "cpu")
     bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
     geom, rays, freqs = make_camera(cfg, bh_m=bh_m, bh_a=bh_a)
     params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
@@ -106,6 +119,23 @@ def main():
             mass_msun=mass_msun, camera_x=geom.cam_x,
             log_j_scale=formula_model.formula_log_j_scale(fp))
         return img["I_nu"][:, 0]
+
+    if use_kernel:
+        from blacklight_tpu.ops.pallas_formula import \
+            make_formula_fit_renderer
+        on_tpu = "--tpu" in sys.argv
+        fit_render = make_formula_fit_renderer(
+            freqs, params, fparams0, mass_msun, np.asarray(geom.cam_x),
+            float(formula_model.formula_log_j_scale(fparams0)),
+            fallback_nan=False, interpret=not on_tpu,
+            fit_params=("cn0", "r0"))
+
+        def render(log_cn0, log_r0):
+            theta = {"cn0": jnp.exp(log_cn0), "r0": jnp.exp(log_r0)}
+            i_img, _, _ = fit_render(theta, rays.positions,
+                                     rays.directions,
+                                     rays.momentum_factors)
+            return i_img[:, 0] if i_img.ndim == 2 else i_img
 
     # Hidden truth: different amplitude and disk radius
     true_log_cn0 = float(np.log(fparams0.cn0 * 2.5))

@@ -122,6 +122,42 @@ def test_pallas_cn0_gradient_matches_scan_and_fd(formula_setup):
     assert not np.any(np.asarray(gp))
 
 
+def test_pallas_fit_gradients_match_fd(formula_setup):
+    """The multi-parameter fit renderer (cn0, r0, h in-kernel tangents)
+    matches central finite differences through the kernel for every
+    parameter."""
+    from blacklight_tpu.ops.pallas_formula import make_formula_fit_renderer
+
+    cfg, geom, rays, freqs, params, fparams, mass_msun = formula_setup
+    fp = dataclasses.replace(fparams, h=0.4)  # h=0 would zero the h grad
+    render = make_formula_fit_renderer(
+        freqs, params, fp, mass_msun, np.asarray(geom.cam_x),
+        float(formula_model.formula_log_j_scale(fp)),
+        fallback_nan=False, interpret=True,
+        fit_params=("cn0", "r0", "h"))
+
+    theta0 = {"cn0": jnp.asarray(fp.cn0, jnp.float32),
+              "r0": jnp.asarray(fp.r0, jnp.float32),
+              "h": jnp.asarray(fp.h, jnp.float32)}
+
+    def loss(theta):
+        i_img, _, _ = render(theta, rays.positions, rays.directions,
+                             rays.momentum_factors)
+        return jnp.sum(i_img)
+
+    f = jax.jit(loss)
+    g = jax.jit(jax.grad(loss))(theta0)
+    for p in theta0:
+        eps = float(theta0[p]) * 1e-3
+        tp = dict(theta0, **{p: theta0[p] + eps})
+        tm = dict(theta0, **{p: theta0[p] - eps})
+        fd = (f(tp) - f(tm)) / (2 * eps)
+        assert np.isfinite(float(g[p])), p
+        np.testing.assert_allclose(float(g[p]), float(fd), rtol=5e-3,
+                                   err_msg=p)
+        assert float(g[p]) != 0.0, p
+
+
 def test_formula_camera_gradient_finite(formula_setup):
     """Gradient wrt pixel positions (camera pose) flows through the full
     geodesic integration and stays finite."""
@@ -178,6 +214,81 @@ def test_simulation_gradient_with_nan_fallback(tmp_path):
     assert np.isnan(np.asarray(img)).any()
     # ... yet the gradient over the finite ones is finite and nonzero
     assert np.isfinite(float(g)) and float(g) != 0.0
+
+
+def test_pose_gradient_dp_f32_matches_fd():
+    """Camera-pose gradients through the dp integrator are finite and
+    FD-correct in float32. Regression: the dp controller's
+    err**(-0.2) and 1/ds_dlam carried VJP factors that overflow float32
+    on parked/exact lanes (x**(-1.2), 1/x^2 at x ~ 1e-300), NaN-poisoning
+    every ray's pose gradient even though the forward image was finite
+    (ops/geodesic.py). rk4 was unaffected - only dp has the controller."""
+    from blacklight_tpu import read_config
+    from blacklight_tpu.models import formula as formula_model
+
+    cfg = read_config(str(pathlib.Path(__file__).parent
+                          / "fixtures/golden_formula_32.input"))
+    cfg.camera_resolution = 4
+    cfg.ray_max_steps = 600
+    cfg.precision = "float32"
+    bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
+    geom, rays, freqs = make_camera(cfg, bh_m=bh_m, bh_a=bh_a,
+                                    dtype=jnp.float32)
+    params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
+    fp = formula_model.formula_params_from_config(cfg)
+
+    def loss(pos):
+        def coeff_fn(p, k):
+            j, a, _, bad = formula_model.formula_coefficients(
+                p, k, rays.momentum_factors, freqs, fp, geom.cam_x)
+            return j, a, bad
+
+        img = integrate_unpolarized(
+            pos, rays.directions, rays.momentum_factors, freqs,
+            params=params, coeff_fn=coeff_fn,
+            opts=ImageOptions(fallback_nan=False), mass_msun=mass_msun,
+            camera_x=geom.cam_x,
+            log_j_scale=formula_model.formula_log_j_scale(fp))
+        return jnp.nansum(img["I_nu"])
+
+    g = np.asarray(jax.jit(jax.grad(loss))(rays.positions))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
+
+    # FD correctness in float64 (float32 central differences are pure
+    # noise here: the loss's f32 resolution is ~1e-11 while the
+    # directional derivative is ~1e-8, and pos + eps*e quantizes at
+    # |pos| ~ 1000); reverse and forward mode must also agree.
+    geom64, rays64, freqs64 = make_camera(cfg, bh_m=bh_m, bh_a=bh_a,
+                                          dtype=jnp.float64)
+
+    def loss64(pos):
+        def coeff_fn(p, k):
+            j, a, _, bad = formula_model.formula_coefficients(
+                p, k, rays64.momentum_factors, freqs64, fp, geom64.cam_x)
+            return j, a, bad
+
+        img = integrate_unpolarized(
+            pos, rays64.directions, rays64.momentum_factors, freqs64,
+            params=params, coeff_fn=coeff_fn,
+            opts=ImageOptions(fallback_nan=False), mass_msun=mass_msun,
+            camera_x=geom64.cam_x,
+            log_j_scale=formula_model.formula_log_j_scale(fp))
+        return jnp.nansum(img["I_nu"])
+
+    e = jnp.asarray(np.broadcast_to(
+        np.array([0.0, 0.3, -0.2, 0.1]), rays64.positions.shape))
+    g64 = jax.jit(jax.grad(loss64))(rays64.positions)
+    gd = float(jnp.sum(g64 * e))
+    _, jv = jax.jit(lambda p, t: jax.jvp(loss64, (p,), (t,)))(
+        rays64.positions, e)
+    np.testing.assert_allclose(gd, float(jv), rtol=1e-8)
+
+    f = jax.jit(lambda d: loss64(rays64.positions + d * e))
+    eps = 1e-4
+    fd = (float(f(jnp.float64(eps))) - float(f(jnp.float64(-eps)))) \
+        / (2 * eps)
+    np.testing.assert_allclose(gd, fd, rtol=1e-4)
 
 
 def test_simulation_prim_gradient_finite_f32(tmp_path):
