@@ -11,14 +11,41 @@ Call sites: the CLI driver and the bench scripts. Tests do not enable it
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _host_fingerprint() -> str:
+    """Short digest of the host CPU's ISA feature set.
+
+    XLA:CPU serializes AOT executables specialized to the *compiling*
+    machine's feature flags; jax's cache key does not include them, so an
+    entry written on one host is loaded on another with machine-feature
+    mismatch errors and a SIGILL risk. Keying the cache directory by the
+    feature set keeps each host's entries separate. (TPU executables are
+    keyed by the platform's own version string and are unaffected either
+    way.)
+    """
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+        flags = platform.machine() + platform.processor()
+    return hashlib.sha256(flags.encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
     """Point jax's persistent compilation cache at a durable directory.
 
-    Honors BLACKLIGHT_TPU_CACHE_DIR, else ~/.cache/blacklight_tpu/xla.
-    Returns the directory used. Safe to call more than once.
+    Honors BLACKLIGHT_TPU_CACHE_DIR, else ~/.cache/blacklight_tpu/xla,
+    suffixed with a per-host CPU-feature fingerprint (see
+    _host_fingerprint). Returns the directory used. Safe to call more
+    than once.
     """
     import jax
 
@@ -26,6 +53,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
                  or os.environ.get("BLACKLIGHT_TPU_CACHE_DIR")
                  or os.path.join(os.path.expanduser("~"), ".cache",
                                  "blacklight_tpu", "xla"))
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # Cache everything: the default 1 s floor would skip the many small

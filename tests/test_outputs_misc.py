@@ -79,3 +79,21 @@ def test_adaptive_two_levels(tmp_path):
         v, u = locs2[b]
         np.testing.assert_allclose(
             I2[b], full[v * 8:(v + 1) * 8, u * 8:(u + 1) * 8], rtol=1e-10)
+
+
+def test_compilation_cache_host_keyed(tmp_path, monkeypatch):
+    """The persistent compile cache is keyed by a per-host CPU fingerprint
+    so XLA:CPU AOT entries from one machine are never loaded on another
+    (machine-feature mismatch -> SIGILL risk)."""
+    from blacklight_tpu.utils import cache
+
+    monkeypatch.setenv("BLACKLIGHT_TPU_CACHE_DIR", str(tmp_path / "xla"))
+    used = cache.enable_compilation_cache()
+    assert used.startswith(str(tmp_path / "xla"))
+    fp = cache._host_fingerprint()
+    assert used == str(tmp_path / "xla" / fp)
+    assert len(fp) == 12 and fp == cache._host_fingerprint()  # stable
+    import os
+    assert os.path.isdir(used)
+    import jax
+    assert jax.config.jax_compilation_cache_dir == used
