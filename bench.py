@@ -33,7 +33,46 @@ RESOLUTION = 1024
 TILE = 128  # image tile side; one dispatch per tile
 
 
+def wait_for_chip(budget_s: float) -> bool:
+    """Block until the axon TPU answers a trivial jit, up to budget_s.
+
+    The remote chip is sometimes unavailable for stretches; importing jax
+    in THIS process then would hang in the tunnel handshake with no way to
+    recover. Probe in short-lived subprocesses instead (each under its own
+    timeout) and only let the real bench initialize jax once a probe
+    succeeds. Returns True if the chip answered, False if the budget ran
+    out (the bench proceeds anyway and fails honestly).
+    """
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp;"
+             "assert jax.devices()[0].platform != 'cpu';"
+             "jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)));"
+             "print('CHIP_OK')")
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=240)
+            if "CHIP_OK" in out.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print(f"WARNING: TPU chip did not answer within {budget_s:.0f}s "
+                  f"({attempt} probes); proceeding anyway.", file=sys.stderr)
+            return False
+        print(f"chip probe {attempt} failed; retrying...", file=sys.stderr)
+        time.sleep(min(120.0, max(0.0, deadline - time.monotonic())))
+
+
 def main() -> None:
+    wait_for_chip(float(os.environ.get("BLACKLIGHT_BENCH_CHIP_WAIT", "1500")))
+
     import jax
     import jax.numpy as jnp
     import numpy as np
