@@ -139,20 +139,31 @@ def fluid_state(pos, samples, spin, plasma: PlasmaParams, rho_unit: float,
         bph = (bb3 + bt * uph) / ut
         bcov_t, bcov_r, bcov_th, bcov_ph = sks.lower_sks(m, bt, br, bth, bph)
         b_sq = bcov_t * bt + bcov_r * br + bcov_th * bth + bcov_ph * bph
-    # sqrt floor at 1e-30 (not 0): sqrt'(0) = inf, so zero-field cells
-    # (b_sq == 0 outside the torus) would NaN reverse-mode through every
-    # product even though their emission is masked. 1e-30 code units ~
-    # 3e-13 G - far below any physical field.
-    bb_cgs = jnp.sqrt(jnp.maximum(b_sq, 1e-30)) * b_unit
+    # sqrt'(0) = inf would NaN reverse-mode at zero-field cells even
+    # though their emission is masked. float64 keeps the EXACT forward
+    # values (bb = 0 at B = 0, so nu_c = 0 feeds the by-design 0 * inf
+    # NaNs that poison those pixels like the reference) via a where,
+    # whose transpose is a select that discards the inf cotangent;
+    # float32 floors at 1e-30 code units ~ 3e-13 G instead (a where's
+    # exact 0 would reintroduce 0-divisions downstream at f32 scales).
+    f64 = b_sq.dtype == jnp.float64
+    if f64:
+        pos_b = b_sq > 0.0
+        bb_cgs = jnp.where(pos_b, jnp.sqrt(jnp.where(pos_b, b_sq, 1.0)),
+                           0.0) * b_unit
+    else:
+        bb_cgs = jnp.sqrt(jnp.maximum(b_sq, 1e-30)) * b_unit
     # Clamp divisors at point of use: rho/pgas may be an exact-zero user
     # fallback (legal input); a 0/0 NaN primal here would poison
     # reverse-mode through later products even when masked forward.
-    # Floors sit at 1e-15, NOT epsilon: x/max(d, f)'s VJP carries
+    # float32 floors sit at 1e-15, NOT epsilon: x/max(d, f)'s VJP carries
     # num * d^-2, and jax's maximum-VJP multiplies (not selects) the
     # cotangent by its 0/1 subgradient - an inf cotangent from f < ~1e-19
-    # becomes 0 * inf = NaN at every degenerate cell.
-    sigma = b_sq / jnp.maximum(rho, 1e-15)
-    beta_inv = b_sq / jnp.maximum(2.0 * pgas, 1e-15)
+    # becomes 0 * inf = NaN at every degenerate cell. float64 keeps the
+    # round-1 1e-30 floors (forward-inert for physical snapshots).
+    dfloor = 1e-30 if f64 else 1e-15
+    sigma = b_sq / jnp.maximum(rho, dfloor)
+    beta_inv = b_sq / jnp.maximum(2.0 * pgas, dfloor)
 
     # Electron temperature (simulation_coefficients.cpp:330-358)
     if plasma.model == PlasmaModel.ti_te_beta:
@@ -168,7 +179,7 @@ def fluid_state(pos, samples, spin, plasma: PlasmaParams, rho_unit: float,
         # VJP intermediate 1/rho_cgs^2 (~1e50) overflows float32 to inf,
         # poisoning d/d rho for every cell a ray touches.
         kb_tt_tot_cgs = (plasma.mu * Physics.m_p * Physics.c ** 2) \
-            * (pgas / jnp.maximum(rho, 1e-15))
+            * (pgas / jnp.maximum(rho, dfloor))
         if plasma.use_p:
             kb_tt_e_cgs = (1.0 + plasma.ne_ni) / (tti_tte + plasma.ne_ni) \
                 * kb_tt_tot_cgs
@@ -240,20 +251,24 @@ def pitch_angle(pos, kcov, state, spin, flat=False):
     u_dot_k = jnp.einsum("...i,...i->...", ucon, kcov)
     b_dot_k = jnp.einsum("...i,...i->...", bcon, kcov)
     b_sq = state["b_sq"]
-    # 1e-16, not 1e-300: smaller floors flush to zero in float32 (0/0 NaN
-    # primal at B = 0 cells), and the division's VJP forms denom^-2,
-    # which must itself stay float32-finite (denom > ~5e-20) before it
-    # multiplies the (zero) numerator cotangent.
-    denom = u_dot_k * u_dot_k * jnp.maximum(b_sq, 1e-16)
+    # Dtype-aware floor: in float32, floors below ~1e-19 flush the VJP's
+    # denom^-2 to inf (0/0 NaN primal at B = 0 cells) so weak-field
+    # pitch angles clamp at 1e-16; float64 keeps 1e-300 - b_sq down to
+    # ~1e-30 occurs in real snapshots outside the torus, and flooring it
+    # would rotate those cells' pitch angles (golden-parity visible).
+    floor = 1e-300 if b_sq.dtype == jnp.float64 else 1e-16
+    denom = u_dot_k * u_dot_k * jnp.maximum(b_sq, floor)
     cos2 = jnp.minimum(b_dot_k * b_dot_k / denom, 1.0)
     sin2 = 1.0 - cos2
     # sqrt through a where, not a floor: sqrt'(0) = inf, and exact zeros
     # DO occur (B = 0 cells give cos2 = 0; field-aligned k gives
     # sin2 = 0). where's transpose is a select, so the inf cotangent is
-    # discarded exactly; the 1e-24 cutoff changes the forward value by
-    # at most 1e-12.
+    # discarded exactly; the cutoff (1e-24 f32 / 1e-300 f64) changes the
+    # forward value by at most 1e-12 / not at all.
+    cut = 1e-300 if b_sq.dtype == jnp.float64 else 1e-24
+
     def _safe_sqrt(z):
-        return jnp.where(z > 1e-24, jnp.sqrt(jnp.where(z > 1e-24, z, 1.0)),
+        return jnp.where(z > cut, jnp.sqrt(jnp.where(z > cut, z, 1.0)),
                          0.0)
 
     sin_theta_b = _safe_sqrt(sin2)
@@ -551,13 +566,18 @@ def powerlaw_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     pp = plasma.power_p
     nu_c = Physics.e * state["bb_cgs"][..., None] \
         / (2.0 * Math.pi * Physics.m_e * Physics.c)
-    # Floor 1e-12 (f32-representable, VJP-finite), not 1e-300 (flushes to
-    # 0 in f32 -> inf ratio); sin clamped away from {0, 1} for the
-    # fractional sin powers whose VJPs blow up at the endpoints. Both
-    # floors only move exactly-degenerate cells (B = 0 / field exactly
-    # (anti)parallel or perpendicular to k), whose coefficients vanish.
-    ncs = jnp.maximum(nu_c * sin_b, 1e-12)
-    sin_c = jnp.clip(sin_b, 1e-6, 1.0 - 1e-7)
+    # float64 keeps the LITERAL reference expressions - including their
+    # by-design non-finite values at exactly-degenerate cells (sin = 0 /
+    # B = 0 give inf/NaN that flag coeff_bad and poison the pixel just as
+    # the C++ NaNs do; golden-parity visible). float32 (the gradient/TPU
+    # path) hardens them: a 1e-12 floor on nu_c sin (f32-representable,
+    # VJP-finite), sin clamped away from {0, 1} for the fractional sin
+    # powers whose VJPs blow up at the endpoints, and the 0 * inf
+    # products cancelled algebraically. The f32 clamps only move
+    # exactly-degenerate cells, whose coefficients vanish.
+    f64 = nu_cgs.dtype == jnp.float64
+    ncs = jnp.maximum(nu_c * sin_b, 1e-300 if f64 else 1e-12)
+    sin_c = sin_b if f64 else jnp.clip(sin_b, 1e-6, 1.0 - 1e-7)
     ratio = nu_cgs / ncs
 
     # Emissivity in units of e^2 nu0^2 / c (matching log_j_scale)
@@ -565,15 +585,20 @@ def powerlaw_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     coeff_j = frac * n_e * nu_c * (nu0 / nu_cgs) ** 2 * consts["jj"] * sin_b * var_a
     out["j_i"] = coeff_j
     if polarized:
-        # (cos/sin) * sqrt(3 nu_c sin / nu) with the sin cancelled
-        # algebraically: the literal product is 0 * inf at sin = 0.
-        arg = 3.0 * ncs / nu_cgs
-        root = jnp.where(arg > 1e-30,
-                         jnp.sqrt(jnp.where(arg > 1e-30, arg, 1.0)), 0.0)
-        coeff_j_nosin = frac * n_e * nu_c * (nu0 / nu_cgs) ** 2 \
-            * consts["jj"] * var_a
         out["j_q"] = coeff_j * consts["jj_q"]
-        out["j_v"] = coeff_j_nosin * consts["jj_v"] * cos_b * root
+        if f64:
+            var_b = cos_b / sin_b
+            var_c = 1.0 / jnp.sqrt(nu_cgs / (3.0 * nu_c * sin_b))
+            out["j_v"] = coeff_j * consts["jj_v"] * var_b * var_c
+        else:
+            # (cos/sin) * sqrt(3 nu_c sin / nu) with the sin cancelled
+            # algebraically: the literal product is 0 * inf at sin = 0.
+            arg = 3.0 * ncs / nu_cgs
+            root = jnp.where(arg > 1e-30,
+                             jnp.sqrt(jnp.where(arg > 1e-30, arg, 1.0)), 0.0)
+            coeff_j_nosin = frac * n_e * nu_c * (nu0 / nu_cgs) ** 2 \
+                * consts["jj"] * var_a
+            out["j_v"] = coeff_j_nosin * consts["jj_v"] * cos_b * root
 
     # Absorptivity (true invariant CGS): base has units e^2/(m_e c);
     # invariant alpha * nu handled by the nu-free form as in thermal.
@@ -588,17 +613,31 @@ def powerlaw_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
         out["alpha_q"] = coeff_a * consts["aa_q"]
         out["alpha_v"] = coeff_a * consts["aa_v"] * var_b2 * var_c2 * var_d2
 
-        # Rotativities (M 40-42), with the 1/(nu_c sin) of var_a3
-        # cancelled into var_d3/var_c3 (the literal products are
-        # inf * 0 at B = 0): a3 d3 = n_e ka (nu_c sin)^2 / nu^2 and
-        # a3 c3 f3 = n_e ka nu_c cos / nu.
-        var_e3 = 1.0 - jnp.power(jnp.maximum(
-            2.0 * nu_c * plasma.gamma_min ** 2 * sin_b / (3.0 * nu_cgs),
-            1e-20), pp / 2.0 - 1.0)
-        coeff_r = frac * consts["rho"] * n_e * ka
-        out["rho_q"] = coeff_r * consts["rho_q"] \
-            * (ncs / nu_cgs) ** 2 * var_e3
-        out["rho_v"] = coeff_r * consts["rho_v"] * nu_c * cos_b / nu_cgs
+        if f64:
+            # Rotativities (M 40-42), literal forms
+            var_a3 = n_e * ka * nu_cgs / (nu_c * sin_b)
+            var_b3 = nu_c * sin_b / nu_cgs
+            var_c3 = var_b3 * var_b3
+            var_d3 = var_c3 * var_b3
+            var_e3 = 1.0 - jnp.power(
+                2.0 * nu_c * plasma.gamma_min ** 2 * sin_b / (3.0 * nu_cgs),
+                pp / 2.0 - 1.0)
+            var_f3 = cos_b / sin_b
+            coeff_r = frac * consts["rho"] * var_a3
+            out["rho_q"] = coeff_r * consts["rho_q"] * var_d3 * var_e3
+            out["rho_v"] = coeff_r * consts["rho_v"] * var_c3 * var_f3
+        else:
+            # Rotativities (M 40-42), with the 1/(nu_c sin) of var_a3
+            # cancelled into var_d3/var_c3 (the literal products are
+            # inf * 0 at B = 0): a3 d3 = n_e ka (nu_c sin)^2 / nu^2 and
+            # a3 c3 f3 = n_e ka nu_c cos / nu.
+            var_e3 = 1.0 - jnp.power(jnp.maximum(
+                2.0 * nu_c * plasma.gamma_min ** 2 * sin_b / (3.0 * nu_cgs),
+                1e-20), pp / 2.0 - 1.0)
+            coeff_r = frac * consts["rho"] * n_e * ka
+            out["rho_q"] = coeff_r * consts["rho_q"] \
+                * (ncs / nu_cgs) ** 2 * var_e3
+            out["rho_v"] = coeff_r * consts["rho_v"] * nu_c * cos_b / nu_cgs
     return out
 
 
@@ -638,12 +677,15 @@ def kappa_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     nu_c = Physics.e * state["bb_cgs"][..., None] \
         / (2.0 * Math.pi * Physics.m_e * Physics.c)
     nu_kappa = nu_c * w * w * kap * kap * sin_b
-    # Floor 1e-12 (f32-representable with finite VJP), not 1e-300; sin
-    # clamped away from {0, 1} for the fractional sin powers (endpoint
-    # VJPs are inf). Only exactly-degenerate cells move, and their
-    # emissivities vanish through sin_b / xx powers.
-    xx = nu_cgs / jnp.maximum(nu_kappa, 1e-12)
-    sin_cl = jnp.clip(sin_b, 1e-6, 1.0 - 1e-7)
+    # float64 keeps the literal reference expressions (by-design inf/NaN
+    # at degenerate cells -> coeff_bad pixel poisoning, golden-parity
+    # visible). float32 hardens: a 1e-12 floor (f32-representable with
+    # finite VJP) and sin clamped away from {0, 1} for the fractional
+    # sin powers (endpoint VJPs are inf); only exactly-degenerate cells
+    # move, and their emissivities vanish through sin_b / xx powers.
+    f64 = nu_cgs.dtype == jnp.float64
+    xx = nu_cgs / jnp.maximum(nu_kappa, 1e-300 if f64 else 1e-12)
+    sin_cl = sin_b if f64 else jnp.clip(sin_b, 1e-6, 1.0 - 1e-7)
 
     # Emissivities, scaled by e^2 nu0^2 / c
     var_a = frac * n_e * nu_c * (nu0 / nu_cgs) ** 2
@@ -764,18 +806,22 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     nu_2 = nu_cgs * nu_cgs
     nu_c = Physics.e * state["bb_cgs"][..., None] \
         / (2.0 * Math.pi * Physics.m_e * Physics.c)
-    # Floor at 1e-12 Hz, not epsilon: xx = nu/nu_s must keep xx**(4/3)
-    # (rho_q's var_d2) inside float32 range AND the division VJP's
-    # nu * nu_s^-2 finite; degenerate cells (B = 0, theta_e = 0,
-    # field-aligned k) have exp(-xx^(1/3)) = 0 either way, so the
-    # coefficient is unchanged.
+    # float32 ONLY: floor nu_s at 1e-12 Hz (not epsilon) so xx**(4/3)
+    # (rho_q's var_d2) stays inside float32 range AND the division VJP's
+    # nu * nu_s^-2 stays finite, and cap xx at 1e20 for the same reason;
+    # degenerate cells (B = 0, theta_e = 0, field-aligned k) have
+    # exp(-xx^(1/3)) = 0 either way. float64 keeps the literal reference
+    # values: the cap is NOT harmless there - delta_jj_5(1e20) ~ 6e-16
+    # can exceed K0(1/theta_e) at cold cells where the uncapped
+    # delta_jj_5(1e30) ~ 1e-22 does not, flipping rho_v's trap branch
+    # (simulation_coefficients.cpp:546-556) and moving V_nu at the 1e-3
+    # level.
+    f64 = nu_cgs.dtype == jnp.float64
     nu_s = 2.0 / 9.0 * nu_c * theta_e ** 2 * sin_b
-    nu_s = jnp.maximum(nu_s, 1e-12)
-
-    # Cap xx so every power of it (up to xx^{4/3} in rho_q) AND their VJP
-    # factors stay float32-finite; beyond 1e20 the emission is
-    # exp(-xx^{1/3}) = exp(-2e6) = 0 regardless.
-    xx = jnp.minimum(nu_cgs / nu_s, 1e20)
+    nu_s = jnp.maximum(nu_s, 1e-300 if f64 else 1e-12)
+    xx = nu_cgs / nu_s
+    if not f64:
+        xx = jnp.minimum(xx, 1e20)
     xx_1_3 = jnp.cbrt(xx)
     xx_1_2 = jnp.sqrt(xx)
     xx_1_6 = jnp.sqrt(xx_1_3)
@@ -787,11 +833,13 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     j_i = coefficient * var_a * var_c * var_c
     out["j_i"] = j_i
     if polarized:
-        # theta_e floored at 1e-15 inside pow/divide: x**0.96's VJP
-        # carries x**(-0.04) (inf at 0) and cos_b/theta_e is a 0-division
-        # at cold cells; both make NaN reverse-mode primal-products even
-        # though j_q/j_v vanish there through `coefficient`.
-        theta_f = jnp.maximum(theta_e, 1e-15)
+        # float32: theta_e floored at 1e-15 inside pow/divide: x**0.96's
+        # VJP carries x**(-0.04) (inf at 0) and cos_b/theta_e is a
+        # 0-division at cold cells; both make NaN reverse-mode
+        # primal-products even though j_q/j_v vanish there through
+        # `coefficient`. float64 keeps the literal division (by-design
+        # inf at theta_e = 0, reference parity).
+        theta_f = theta_e if f64 else jnp.maximum(theta_e, 1e-15)
         var_d = (7.0 * theta_f ** 0.96 + 35.0) \
             / (10.0 * theta_f ** 0.96 + 75.0) * var_b
         var_e = xx_1_2 + var_d * xx_1_6
@@ -804,13 +852,19 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
     # Kirchhoff absorption: alpha_inv = j_cgs/B_nu * nu. With j carrying the
     # e^2/(c nu0^2) scale, alpha_inv = j_scaled * expm1(h nu/kT) * K where
     # K = e^2 c nu / (2 h nu0^2) - computed in log space for float32.
-    # kb floor 1e-25 erg keeps the division's VJP (hnu/kb^2) inside
-    # float32; the 87 cap keeps expm1 finite (e^88 overflows f32). Beyond
-    # hnu/kT = 87 the step is totally opaque either way (delta_tau
-    # saturates DELTA_TAU_MAX), and a finite kirchhoff avoids the
-    # reference's inf alpha (j = 0 there would make 0 * inf = NaN).
-    hnu_kt = jnp.minimum(Physics.h * nu_cgs
-                         / jnp.maximum(kb_tt_e, 1e-18), 87.0)
+    # float32 ONLY: kb floor keeps the division's VJP (hnu/kb^2) inside
+    # float32, and the 87 cap keeps expm1 finite (e^88 overflows f32);
+    # beyond hnu/kT = 87 the step is totally opaque either way (delta_tau
+    # saturates DELTA_TAU_MAX). float64 keeps the UNCAPPED reference
+    # semantics (simulation_coefficients.cpp:508-510): at ultra-cold
+    # cells expm1 genuinely overflows/saturates exactly as the C++ does,
+    # which the golden-parity suite pins at 1e-3 - a cap there changes
+    # marginal cells' optical depth by factors up to e^600.
+    if nu_cgs.dtype == jnp.float64:
+        hnu_kt = Physics.h * nu_cgs / kb_tt_e
+    else:
+        hnu_kt = jnp.minimum(Physics.h * nu_cgs
+                             / jnp.maximum(kb_tt_e, 1e-18), 87.0)
     log_k = (2.0 * math.log(Physics.e) + math.log(Physics.c)
              - math.log(2.0 * Physics.h) - 2.0 * math.log(nu0))
     kirchhoff = jnp.expm1(hnu_kt) * math.exp(log_k)
@@ -827,13 +881,6 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
             / (Physics.m_e * Physics.c * nu_2)
         coefficient_v = frac * 2.0 * n_e * Physics.e ** 2 * nu_c * cos_b \
             / (Physics.m_e * Physics.c * nu_cgs)
-        inv_theta = jnp.maximum(1.0 / jnp.maximum(theta_e, THETA_E_ZERO),
-                                1e-15)
-        # e^x-scaled K's: the unscaled values underflow float32 near
-        # x ~ 80 (reachable: theta_e -> THETA_E_ZERO gives x = 100) and
-        # their ratios become 0/0 NaN primals. All uses below are ratios,
-        # where the e^x factor cancels exactly.
-        kk_0s, kk_1s, kk_2s = _bessel_k012_scaled(inv_theta)
         xx_neg_1_2 = 1.0 / jnp.sqrt(xx)
         var_a2 = 2.011 * jnp.exp(-19.78 * xx ** (-0.5175))
         var_b2 = jnp.cos(39.89 * xx_neg_1_2) * jnp.exp(-70.16 * xx ** (-0.6))
@@ -842,21 +889,47 @@ def thermal_coefficients(nu_cgs, nu0: float, state, sin_theta_b, cos_theta_b,
         var_e2 = 0.5 * (1.0 + jnp.tanh(10.0 * jnp.log(0.6648 * xx_neg_1_2)))
         f_0 = var_a2 - var_b2 - var_c2
         f_m = f_0 + (var_c2 - var_d2) * var_e2
-        # log1p, not log(1 + z): z ~ 1e-15 at capped xx rounds 1 + z to 1
-        # in float32, flushing delta to an exact 0 whose log is -inf.
-        delta_jj_5 = 0.4379 * jnp.log1p(1.3414 * xx ** (-0.7515))
-        factor_q = f_m * (kk_1s / kk_2s + 6.0 * theta_e)
-        # factor_v = (K0 - delta)/K2, computed in the e^x-scaled frame:
-        # delta e^x overflows exactly when delta > K0, i.e. when the
-        # reference's value would be negative and trapped to 1 anyway
-        # (K0 < K2 makes > 1 impossible), so the log-space comparison
-        # reproduces the trap (simulation_coefficients.cpp:526-556)
-        # without ever forming an inf.
-        log_de = jnp.log(jnp.maximum(delta_jj_5, 1e-30)) + inv_theta
-        log_k0s = jnp.log(kk_0s)
-        ok_v = log_de <= log_k0s
-        de = jnp.exp(jnp.minimum(log_de, log_k0s))
-        factor_v = jnp.where(ok_v, (kk_0s - de) / kk_2s, 1.0)
+        if f64:
+            # Literal reference forms (simulation_coefficients.cpp:
+            # 526-556): inv_theta <= 1/THETA_E_ZERO = 100 so the unscaled
+            # K's never underflow double precision, and the direct
+            # (K0 - delta)/K2 with the <0 / >1 trap is exactly the C++
+            # trap; cancellation near delta ~ K0 resolves at full
+            # precision with no log-space roundtrip.
+            inv_theta = 1.0 / jnp.maximum(theta_e, THETA_E_ZERO)
+            kk_0 = _bessel_k(0, inv_theta)
+            kk_1 = _bessel_k(1, inv_theta)
+            kk_2 = _bessel_k(2, inv_theta)
+            delta_jj_5 = 0.4379 * jnp.log(1.0 + 1.3414 * xx ** (-0.7515))
+            factor_q = f_m * (kk_1 / kk_2 + 6.0 * theta_e)
+            factor_v = (kk_0 - delta_jj_5) / kk_2
+            factor_v = jnp.where((factor_v < 0.0) | (factor_v > 1.0), 1.0,
+                                 factor_v)
+        else:
+            inv_theta = jnp.maximum(1.0 / jnp.maximum(theta_e, THETA_E_ZERO),
+                                    1e-15)
+            # e^x-scaled K's: the unscaled values underflow float32 near
+            # x ~ 80 (reachable: theta_e -> THETA_E_ZERO gives x = 100)
+            # and their ratios become 0/0 NaN primals. All uses below are
+            # ratios, where the e^x factor cancels exactly.
+            kk_0s, kk_1s, kk_2s = _bessel_k012_scaled(inv_theta)
+            # log1p, not log(1 + z): z ~ 1e-15 at capped xx rounds 1 + z
+            # to 1 in float32, flushing delta to an exact 0 whose log is
+            # -inf.
+            delta_jj_5 = 0.4379 * jnp.log1p(1.3414 * xx ** (-0.7515))
+            factor_q = f_m * (kk_1s / kk_2s + 6.0 * theta_e)
+            # factor_v = (K0 - delta)/K2, computed in the e^x-scaled
+            # frame: delta e^x overflows exactly when delta > K0, i.e.
+            # when the reference's value would be negative and trapped to
+            # 1 anyway (K0 < K2 makes > 1 impossible), so the log-space
+            # comparison reproduces the trap
+            # (simulation_coefficients.cpp:526-556) without ever forming
+            # an inf.
+            log_de = jnp.log(jnp.maximum(delta_jj_5, 1e-30)) + inv_theta
+            log_k0s = jnp.log(kk_0s)
+            ok_v = log_de <= log_k0s
+            de = jnp.exp(jnp.minimum(log_de, log_k0s))
+            factor_v = jnp.where(ok_v, (kk_0s - de) / kk_2s, 1.0)
         cold = theta_e < THETA_E_ZERO
         out["rho_q"] = coefficient_q * jnp.where(cold, 0.0, factor_q)
         out["rho_v"] = coefficient_v * jnp.where(cold, 1.0, factor_v)
