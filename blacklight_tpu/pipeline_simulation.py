@@ -231,7 +231,8 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
 
 def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                              early_exit: bool = True,
-                             wavefront: bool = True):
+                             wavefront: bool = True,
+                             wavefront_batch: bool = True):
     """Build a reusable simulation-model renderer.
 
     Returns (render_fn, geom, rays, frequencies, mass_msun) where
@@ -245,6 +246,10 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
     overflows are transparently re-rendered on the exact path. Forward
     rendering only (the windowed loop is not differentiable; gradient
     callers use integrate_unpolarized directly).
+
+    wavefront_batch: evaluate the synchrotron coefficient chain over the
+    whole window in one vmapped batch instead of per step (see
+    transfer/unpolarized.integrate_unpolarized).
     """
     from blacklight_tpu import pipeline
 
@@ -343,7 +348,7 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                         cell_fn=cell_fn if need_cells else None,
                         early_exit=early_exit, log_j_scale=log_scale,
                         stored=stored, stored_prims=stored_prims,
-                        wavefront=wf)
+                        wavefront=wf, wavefront_batch=wavefront_batch)
 
             if cfg.require("render_num_images") > 0:
                 from blacklight_tpu.transfer.rendering import (

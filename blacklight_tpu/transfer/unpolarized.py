@@ -81,7 +81,8 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
                           opts: ImageOptions, mass_msun: float, camera_x,
                           cell_fn: Optional[Callable] = None,
                           early_exit: bool = False, log_j_scale=0.0,
-                          stored=None, stored_prims=None, wavefront=None):
+                          stored=None, stored_prims=None, wavefront=None,
+                          wavefront_batch: bool = True):
     """Fused geodesic + unpolarized RT over a pixel bundle.
 
     Args:
@@ -116,6 +117,13 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
         "_wavefront_overflow" (B,) to the output (all-True when some
         window's dedup table overflowed and the caller must re-render on
         the exact path).
+      wavefront_batch: evaluate the coefficient chain (synchrotron
+        transcendentals, Bessel ratios, ...) for the WHOLE window in one
+        vmapped (W, B) batch inside the window prep instead of per step
+        inside the scan - same elementwise ops on the same values (the
+        image is identical), but W small per-step launches collapse into
+        a few large fused ones, leaving only the radiative-transfer
+        recurrence in the per-step body.
 
     Returns:
       dict of image arrays keyed by output names ("I_nu", "time", ...),
@@ -174,7 +182,7 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
     safe_pos = jnp.asarray(camera_x, dtype)
     safe_dir = jnp.asarray(jnp.array([-1.0, 1.0, 0.0, 0.0], dtype))
 
-    def contribution(state, sample: geodesic.Sample, prims=None):
+    def contribution(state, sample: geodesic.Sample, prims=None, pre=None):
         state = dict(state)
         valid = sample.valid
         validf = valid.astype(dtype)
@@ -193,18 +201,22 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
                   / (frequencies[None, :] * momentum_factors[:, None]))
 
         if need_coeffs:
-            res = coeff_fn(pos, kcov, **extra)
-            if len(res) == 3:
-                j, alpha, cbad = res
+            if pre is not None:
+                j, alpha, cbad = pre["j"], pre["alpha"], pre["cbad"]
             else:
-                j, alpha = res
-                cbad = jnp.zeros(j.shape, dtype=bool)
+                res = coeff_fn(pos, kcov, **extra)
+                if len(res) == 3:
+                    j, alpha, cbad = res
+                else:
+                    j, alpha = res
+                    cbad = jnp.zeros(j.shape, dtype=bool)
             bad = cbad | ~(jnp.isfinite(j) & jnp.isfinite(alpha))
             j = jnp.where(bad, 0.0, j)
             alpha = jnp.where(bad, 0.0, alpha)
             state["coeff_bad"] = state["coeff_bad"] | (valid[:, None] & bad)
         if need_cells:
-            cells = cell_fn(pos, kcov, **extra)  # (B, C)
+            cells = pre["cells"] if pre is not None \
+                else cell_fn(pos, kcov, **extra)  # (B, C)
             cells_ok = valid[:, None] & ~jnp.isnan(cells[:, 0:1])
             # Sanitize before any product: NaN primals poison adjoints
             cells = jnp.where(jnp.isnan(cells), 0.0, cells)
@@ -306,13 +318,56 @@ def integrate_unpolarized(positions, directions, momentum_factors, frequencies,
     elif wavefront is not None:
         prep_fn, prims_fn, window = wavefront
 
-        def wf_contribution(st, sample, aux_step, aux_const):
-            return contribution(st, sample,
-                                prims=prims_fn(aux_step, aux_const, dtype))
+        if wavefront_batch and (need_coeffs or need_cells):
+            # Hoist the heavy per-sample math out of the inner scan: expand
+            # the window's prims step by step (cheap MXU one-hot +
+            # trilinear), then run the coefficient chain over the whole
+            # (W, B) window in one vmapped batch. Same elementwise ops on
+            # the same values - the image is bit-identical - but the scan
+            # body shrinks to the radiative-transfer recurrence.
+            def batched_prep(samples):
+                aux_steps, aux_const, flag = prep_fn(samples)
+                _, prims = jax.lax.scan(
+                    lambda c, a: (c, prims_fn(a, aux_const, dtype)),
+                    0, aux_steps)
+                valid = samples.valid
+                # Same safe-point substitution contribution() applies per
+                # step (invalid samples park at possibly-horizon states).
+                pos = jnp.where(valid[..., None], samples.pos,
+                                safe_pos[None, None, :])
+                kcov = jnp.where(valid[..., None], samples.dir,
+                                 safe_dir[None, None, :])
+                pre = {}
+                if need_coeffs:
+                    res = jax.vmap(
+                        lambda p, k, pr: coeff_fn(p, k, prims=pr))(
+                            pos, kcov, prims)
+                    if len(res) == 3:
+                        pre["j"], pre["alpha"], pre["cbad"] = res
+                    else:
+                        pre["j"], pre["alpha"] = res
+                        pre["cbad"] = jnp.zeros(pre["j"].shape, dtype=bool)
+                if need_cells:
+                    pre["cells"] = jax.vmap(
+                        lambda p, k, pr: cell_fn(p, k, prims=pr))(
+                            pos, kcov, prims)
+                return {"pre": pre}, aux_const, flag
 
-        state, flags, n_samples, overflow = geodesic.windowed_reduce(
-            positions, directions, params, prep_fn, wf_contribution, state,
-            window)
+            def wf_contribution(st, sample, aux_step, aux_const):
+                return contribution(st, sample, pre=aux_step["pre"])
+
+            state, flags, n_samples, overflow = geodesic.windowed_reduce(
+                positions, directions, params, batched_prep, wf_contribution,
+                state, window)
+        else:
+            def wf_contribution(st, sample, aux_step, aux_const):
+                return contribution(st, sample,
+                                    prims=prims_fn(aux_step, aux_const,
+                                                   dtype))
+
+            state, flags, n_samples, overflow = geodesic.windowed_reduce(
+                positions, directions, params, prep_fn, wf_contribution,
+                state, window)
     else:
         state, flags, n_samples = geodesic.streaming_reduce(
             positions, directions, params, contribution, state,

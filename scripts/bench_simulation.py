@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--precision", default="float32")
     ap.add_argument("--no-wavefront", action="store_true",
                     help="force the per-step-scan sampler (A/B baseline)")
+    ap.add_argument("--no-batch", action="store_true",
+                    help="wavefront without window-batched coefficients "
+                         "(A/B baseline)")
     args = ap.parse_args()
 
     n_r, n_th, n_ph = (int(s) for s in args.grid.split(","))
@@ -66,7 +69,8 @@ def main():
         cfg.image_frequency_spacing = FrequencySpacing.log
 
     render_fn, geom, rays, frequencies, mass = make_simulation_renderer(
-        cfg, wavefront=not args.no_wavefront)
+        cfg, wavefront=not args.no_wavefront,
+        wavefront_batch=not args.no_batch)
     res, tile = args.res, args.tile
     n = res * res
     idx = np.arange(n).reshape(res, res)
@@ -99,6 +103,7 @@ def main():
         "res": res, "steps": args.steps, "grid": args.grid,
         "freqs": args.freqs,
         "wavefront": not args.no_wavefront,
+        "wavefront_batch": not args.no_wavefront and not args.no_batch,
         "precision": args.precision, "time_s": round(t, 2),
         "compile_s": round(compile_s, 1),
         "rays_per_s": round(n / t, 1),

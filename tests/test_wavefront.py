@@ -18,18 +18,19 @@ from blacklight_tpu.grid.wavefront import (
     _split_bf16x3, build_window_tables, expand_onehot, gather_window_columns)
 
 
-def render_pair(fixtures_dir, name, **overrides):
-    """Render the same config with and without the wavefront sampler."""
+def render_pair(fixtures_dir, name, _variants=((False, True), (True, True)),
+                **overrides):
+    """Render the same config across (wavefront, wavefront_batch) variants."""
     from blacklight_tpu.pipeline_simulation import make_simulation_renderer
 
     images = []
-    for wf in (False, True):
+    for wf, batch in _variants:
         cfg = read_config(str(fixtures_dir / name))
         cfg.simulation_file = str(fixtures_dir / "mock_small.athdf")
         for k, v in overrides.items():
             setattr(cfg, k, v)
         render_fn, geom, rays, freqs, mass = make_simulation_renderer(
-            cfg, wavefront=wf)
+            cfg, wavefront=wf, wavefront_batch=batch)
         images.append(render_fn(rays.positions, rays.directions,
                                 rays.momentum_factors))
     return images
@@ -109,6 +110,20 @@ def test_wavefront_render_parity_f32(fixtures_dir):
         fixtures_dir, "golden_sim_rk4_32.input", precision="float32")
     for k in img_wf_off:
         np.testing.assert_array_equal(img_wf_on[k], img_wf_off[k],
+                                      err_msg=k)
+
+
+def test_wavefront_batched_coeffs_bit_exact(fixtures_dir):
+    """Window-batched coefficient evaluation (vmapped (W, B) chain in the
+    window prep) == per-step evaluation inside the scan, bit for bit,
+    including the aux planes that route through cell_fn."""
+    img_unbatched, img_batched = render_pair(
+        fixtures_dir, "golden_sim_rk4_32.input",
+        _variants=((True, False), (True, True)),
+        image_emission=True, image_tau=True, image_emission_ave=True)
+    assert set(img_batched) == set(img_unbatched)
+    for k in img_unbatched:
+        np.testing.assert_array_equal(img_batched[k], img_unbatched[k],
                                       err_msg=k)
 
 
