@@ -40,6 +40,14 @@ from blacklight_tpu.utils.errors import BlacklightError
 WAVEFRONT_SUBTILE = 1024
 WAVEFRONT_WINDOW = 128
 WAVEFRONT_CAPACITY = 1024
+# Window-table construction: "brick" (sort-free per-subtile dense bounding
+# bricks, single-block grids) or "dedup" (sort + unique-rank, any grid).
+# The sort-based dedup measured SLOWER end-to-end than the per-step scan
+# on the real chip (21.4k vs 32.9k rays/s at 1024^2) - TPU bitonic sorts
+# outweigh the gathers they save; the brick variant replaces the sort with
+# min-reductions and one contiguous slab fetch per subtile.
+WAVEFRONT_MODE = "brick"
+WAVEFRONT_BRICK = (8, 8, 16)  # (BK, BJ, BI) cells
 
 
 def plasma_params_from_config(cfg) -> synchrotron.PlasmaParams:
@@ -315,10 +323,13 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                 n_sub = positions.shape[0] // WAVEFRONT_SUBTILE
                 expand = "onehot" if grid_arg.prim_packed.dtype == \
                     jnp.float32 else "gather"
+                mode = WAVEFRONT_MODE if grid_arg.prim.shape[1] == 1 \
+                    else "dedup"
                 prep_fn, prims_fn = make_wavefront_prep(
                     grid_arg, cfg.require("simulation_a"),
                     _sampler_options(cfg, snapshot_time), n_sub,
-                    WAVEFRONT_CAPACITY, expand=expand)
+                    WAVEFRONT_CAPACITY, expand=expand, mode=mode,
+                    brick=WAVEFRONT_BRICK)
                 wf = (prep_fn, prims_fn, WAVEFRONT_WINDOW)
             image = {}
             if any_image:

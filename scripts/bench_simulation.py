@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--no-batch", action="store_true",
                     help="wavefront without window-batched coefficients "
                          "(A/B baseline)")
+    ap.add_argument("--wf-mode", choices=["brick", "dedup"], default=None,
+                    help="window-table construction (A/B)")
+    ap.add_argument("--wf-window", type=int, default=None)
+    ap.add_argument("--wf-brick", default=None,
+                    help="BK,BJ,BI brick extents (brick mode)")
     args = ap.parse_args()
 
     n_r, n_th, n_ph = (int(s) for s in args.grid.split(","))
@@ -52,7 +57,16 @@ def main():
     import numpy as np
 
     from blacklight_tpu import read_config
+    from blacklight_tpu import pipeline_simulation
     from blacklight_tpu.pipeline_simulation import make_simulation_renderer
+
+    if args.wf_mode:
+        pipeline_simulation.WAVEFRONT_MODE = args.wf_mode
+    if args.wf_window:
+        pipeline_simulation.WAVEFRONT_WINDOW = args.wf_window
+    if args.wf_brick:
+        pipeline_simulation.WAVEFRONT_BRICK = tuple(
+            int(s) for s in args.wf_brick.split(","))
 
     fixtures = root / "tests/fixtures"
     cfg = read_config(str(fixtures / "golden_sim_rk4_32.input"))
@@ -104,6 +118,10 @@ def main():
         "freqs": args.freqs,
         "wavefront": not args.no_wavefront,
         "wavefront_batch": not args.no_wavefront and not args.no_batch,
+        "wf_mode": pipeline_simulation.WAVEFRONT_MODE
+        if not args.no_wavefront else None,
+        "wf_window": pipeline_simulation.WAVEFRONT_WINDOW,
+        "wf_brick": list(pipeline_simulation.WAVEFRONT_BRICK),
         "precision": args.precision, "time_s": round(t, 2),
         "compile_s": round(compile_s, 1),
         "rays_per_s": round(n / t, 1),

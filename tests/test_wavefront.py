@@ -127,6 +127,97 @@ def test_wavefront_batched_coeffs_bit_exact(fixtures_dir):
                                       err_msg=k)
 
 
+def test_build_brick_tables_roundtrip():
+    """Brick slots address the same cells the anchors name; overflow fires
+    exactly when a used anchor leaves its subtile's brick."""
+    from blacklight_tpu.grid.wavefront import (build_brick_tables,
+                                               fetch_brick_columns)
+
+    rng = np.random.default_rng(5)
+    w, b, n_sub = 6, 8, 2
+    dims = (16, 12, 20)  # (n_k, n_j, n_i)
+    brick = (4, 4, 8)
+    k_m = rng.integers(2, 5, (w, b)).astype(np.int32)
+    j_m = rng.integers(3, 6, (w, b)).astype(np.int32)
+    i_m = rng.integers(5, 12, (w, b)).astype(np.int32)
+    # Second subtile lives in a different corner of the grid
+    k_m[:, b // 2:] += 8
+    use = np.ones((w, b), dtype=bool)
+    origins, slot, overflow = build_brick_tables(
+        jnp.asarray(i_m), jnp.asarray(j_m), jnp.asarray(k_m),
+        jnp.asarray(use), n_sub, dims, brick)
+    assert not bool(overflow)
+    n_k, n_j, n_i = dims
+    packed = rng.standard_normal(
+        (3, n_k * n_j * n_i)).astype(np.float32)
+    tables = np.asarray(fetch_brick_columns(
+        jnp.asarray(packed), origins, brick, dims))  # (n_sub, cap, P)
+    slot = np.asarray(slot)
+    bs = b // n_sub
+    for s in range(n_sub):
+        for step in range(w):
+            for r in range(bs):
+                col = b_col = s * bs + r
+                flat = (k_m[step, col] * n_j + j_m[step, col]) * n_i \
+                    + i_m[step, col]
+                np.testing.assert_array_equal(
+                    tables[s, slot[step, s, r]], packed[:, flat])
+    # Pushing one used anchor outside its brick flags overflow; flagging
+    # it unused suppresses that
+    i_bad = i_m.copy()
+    i_bad[0, 0] = i_m.min() + 9
+    _, _, overflow = build_brick_tables(
+        jnp.asarray(i_bad), jnp.asarray(j_m), jnp.asarray(k_m),
+        jnp.asarray(use), n_sub, dims, brick)
+    assert bool(overflow)
+    use2 = use.copy()
+    use2[0, 0] = False
+    _, _, overflow = build_brick_tables(
+        jnp.asarray(i_bad), jnp.asarray(j_m), jnp.asarray(k_m),
+        jnp.asarray(use2), n_sub, dims, brick)
+    assert not bool(overflow)
+
+
+@pytest.mark.parametrize("interp", [True, False])
+def test_wavefront_brick_render_parity(fixtures_dir, monkeypatch, interp):
+    """Brick-mode wavefront image == per-step-scan image bit for bit."""
+    from blacklight_tpu import pipeline_simulation
+
+    monkeypatch.setattr(pipeline_simulation, "WAVEFRONT_MODE", "brick")
+    img_wf_off, img_wf_on = render_pair(
+        fixtures_dir, "golden_sim_rk4_32.input", simulation_interp=interp,
+        image_time=True, image_tau=True)
+    assert set(img_wf_on) == set(img_wf_off)
+    for k in img_wf_off:
+        np.testing.assert_array_equal(img_wf_on[k], img_wf_off[k],
+                                      err_msg=k)
+
+
+def test_wavefront_brick_render_parity_f32(fixtures_dir, monkeypatch):
+    from blacklight_tpu import pipeline_simulation
+
+    monkeypatch.setattr(pipeline_simulation, "WAVEFRONT_MODE", "brick")
+    img_wf_off, img_wf_on = render_pair(
+        fixtures_dir, "golden_sim_rk4_32.input", precision="float32")
+    for k in img_wf_off:
+        np.testing.assert_array_equal(img_wf_on[k], img_wf_off[k],
+                                      err_msg=k)
+
+
+def test_wavefront_brick_overflow_falls_back(fixtures_dir, monkeypatch):
+    """A brick too small for the bundle's spread must not corrupt the
+    image: overflow triggers the exact-path re-render."""
+    from blacklight_tpu import pipeline_simulation
+
+    monkeypatch.setattr(pipeline_simulation, "WAVEFRONT_MODE", "brick")
+    monkeypatch.setattr(pipeline_simulation, "WAVEFRONT_BRICK", (1, 1, 2))
+    img_wf_off, img_wf_on = render_pair(fixtures_dir,
+                                        "golden_sim_rk4_32.input")
+    for k in img_wf_off:
+        np.testing.assert_array_equal(img_wf_on[k], img_wf_off[k],
+                                      err_msg=k)
+
+
 def test_wavefront_overflow_falls_back(fixtures_dir, monkeypatch):
     """A capacity too small for the bundle's working set must not corrupt
     the image: the overflow flag triggers a transparent exact-path
