@@ -239,21 +239,29 @@ def make_simulation_coeff_fns(cfg, grid, geom, frequencies, momentum_factors,
 
 def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                              early_exit: bool = True,
-                             wavefront: bool = True,
-                             wavefront_batch: bool = True):
+                             wavefront: bool = False,
+                             wavefront_batch: bool = True,
+                             kernel: bool = False):
     """Build a reusable simulation-model renderer.
 
     Returns (render_fn, geom, rays, frequencies, mass_msun) where
     render_fn(positions, directions, momentum_factors) renders any pixel
     bundle (root camera or adaptive child blocks) to a NumPy image dict.
 
+    kernel: use the fused Pallas kernel (ops/pallas_simulation.py) on
+    eligible configurations (single-block SKS grid, thermal ti_te_beta,
+    unpolarized image_light only, rk4/rk2, float32). Rays whose window
+    brick overflowed (incoherent bundles) are transparently re-rendered
+    on the exact XLA path. Forward rendering only; gradient callers use
+    integrate_unpolarized directly.
+
     wavefront: allow the windowed deduplicated sampler (grid/wavefront.py)
-    on eligible bundles (unpolarized, single-snapshot, clamped-to-block
-    interpolation, bundle a multiple of the subtile). Values are
-    bit-identical to the per-step sampler; bundles whose dedup table
-    overflows are transparently re-rendered on the exact path. Forward
-    rendering only (the windowed loop is not differentiable; gradient
-    callers use integrate_unpolarized directly).
+    on eligible bundles when the Pallas kernel is off/ineligible. Values
+    are bit-identical to the per-step sampler. Default OFF: measured on
+    v5e it is SLOWER than the per-step scan (21.4k vs 32.1k rays/s at
+    1024^2 - the window dedup/expansion work exceeds the gathers it
+    saves); kept for A/B and for architectures where the gather floor
+    dominates.
 
     wavefront_batch: evaluate the synchrotron coefficient chain over the
     whole window in one vmapped batch instead of per step (see
@@ -309,6 +317,101 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
     wf_ok = (bool(wavefront) and not polarized and any_image
              and not use_block_interp and grid.times is None
              and grid.prim_packed is not None)
+
+    # Fused Pallas kernel eligibility (ops/pallas_simulation.py scope):
+    # unpolarized light-only image, thermal ti_te_beta, trilinear
+    # clamped-to-block sampling, rk4/rk2, float32, single-block SKS grid.
+    from blacklight_tpu.constants import PlasmaModel, RayIntegrator
+    plasma_k = plasma_params_from_config(cfg)
+    aux_planes = (opts.time or opts.length or opts.lam or opts.emission
+                  or opts.tau or opts.lambda_ave or opts.emission_ave
+                  or opts.tau_int or opts.crossings
+                  or opts.track_sample_times)
+    integ_name = {RayIntegrator.rk4: "rk4", RayIntegrator.rk2: "rk2"}.get(
+        cfg.require("ray_integrator"))
+    kernel_render = None
+    if (kernel and jax.default_backend() == "tpu"
+            and not polarized and cfg.require("image_light")
+            and not aux_planes and cfg.require("render_num_images") == 0
+            and not slow and not use_block_interp
+            and cfg.require("simulation_interp")
+            and integ_name is not None and dtype == jnp.float32
+            and plasma_k.model == PlasmaModel.ti_te_beta
+            and plasma_k.power_frac == 0.0 and plasma_k.kappa_frac == 0.0):
+        from blacklight_tpu.ops import pallas_simulation as psim
+
+        kernel_grid = psim.prepare_kernel_grid(grid)
+        if kernel_grid is not None:
+            from blacklight_tpu.models import synchrotron as _synchro
+
+            sp_k = psim.sim_kernel_params(
+                cfg, GeometricCuts.from_config(cfg), plasma_k,
+                cut_params_from_config(cfg))
+            nu0_k = float(np.asarray(frequencies)[0])
+            freqs_np = np.asarray(frequencies)
+            cam_np = np.asarray(geom.cam_x)
+
+            kernel_jit = jax.jit(lambda p, d, m, kg: psim.render_simulation(
+                p, d, m, freqs_np, params, sp_k, kg, mass_msun, cam_np,
+                _synchro.log_j_scale(nu0_k), integrator=integ_name))
+
+            def _spatial_order(positions):
+                """Group rays into ~32x32-pixel tiles (1024-ray kernel
+                blocks) by their camera-plane coordinates, with a finer
+                sub-key so each 128-ray sublane group is a compact patch.
+                The kernel's brick-overflow rate depends directly on this
+                coherence; the caller's ray order (raster, adaptive
+                blocks, ...) is otherwise arbitrary."""
+                q = np.asarray(positions)[:, 1:4]
+                q = q - q.mean(axis=0)
+                _, vecs = np.linalg.eigh(q.T @ q)
+                u = q @ vecs[:, -1]
+                v = q @ vecs[:, -2]
+                b = len(u)
+                g = max(1, int(np.ceil(np.sqrt(b / 1024.0))))
+
+                def quant(x, levels):
+                    span = np.ptp(x)
+                    if span <= 0.0:
+                        return np.zeros(len(x), np.int64)
+                    return np.clip(((x - x.min()) / span * levels)
+                                   .astype(np.int64), 0, levels - 1)
+
+                ub, vb = quant(u, g), quant(v, g)
+                uf, vf = quant(u, 8 * g), quant(v, 4 * g)
+                return np.lexsort((vf, uf, vb, ub))
+
+            def kernel_render(positions, directions, momentum_factors):
+                order = _spatial_order(positions)
+                inv = np.empty_like(order)
+                inv[order] = np.arange(len(order))
+                i_img, flags, nsamp, ovf = kernel_jit(
+                    jnp.asarray(positions, dtype)[order],
+                    jnp.asarray(directions, dtype)[order],
+                    jnp.asarray(momentum_factors, dtype)[order],
+                    kernel_grid)
+                ovf = np.asarray(ovf)[inv]
+                out = {"I_nu": np.asarray(i_img)[inv],
+                       "_flags": np.asarray(flags)[inv],
+                       "_n_samples": np.asarray(nsamp)[inv],
+                       "_kernel_fallback": ovf}
+                if ovf.any():
+                    # Rays whose window brick overflowed re-render on the
+                    # exact XLA path, padded to power-of-two buckets so
+                    # repeated fallbacks share executables.
+                    idx = np.nonzero(ovf)[0]
+                    n = len(idx)
+                    m = max(256, 1 << (n - 1).bit_length())
+                    pad_idx = np.concatenate(
+                        [idx, np.repeat(idx[:1], m - n)])
+                    sub = fused_for(False, False)(
+                        jnp.asarray(positions)[pad_idx],
+                        jnp.asarray(directions)[pad_idx],
+                        jnp.asarray(momentum_factors)[pad_idx], grid)
+                    out["I_nu"][idx] = np.asarray(sub["I_nu"])[:n]
+                return out
+
+    del plasma_k
 
     @functools.lru_cache(maxsize=8)
     def fused_for(has_stored, has_prims, use_wf=False):
@@ -389,6 +492,8 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
         if stored is not None:
             return fused_for(True, False)(positions, directions,
                                           momentum_factors, stored, grid)
+        if kernel_render is not None:
+            return kernel_render(positions, directions, momentum_factors)
         if wf_ok and positions.shape[0] % WAVEFRONT_SUBTILE == 0:
             image = fused_for(False, False, True)(
                 positions, directions, momentum_factors, grid)

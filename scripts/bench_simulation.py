@@ -20,15 +20,22 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=1024)
-    ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--tile", type=int, default=None,
+                    help="dispatch tile (default: 32 on the kernel path - "
+                         "blocks are then full 32x32 tiles - else 128)")
+    ap.add_argument("--kernel", action="store_true",
+                    help="use the fused Pallas simulation kernel")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--grid", default="128,64,64")
     ap.add_argument("--freqs", type=int, default=1,
                     help="number of image frequencies (true-color = 10)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--precision", default="float32")
+    ap.add_argument("--wavefront", action="store_true",
+                    help="use the windowed wavefront sampler (measured "
+                         "SLOWER than per-step on v5e; A/B only)")
     ap.add_argument("--no-wavefront", action="store_true",
-                    help="force the per-step-scan sampler (A/B baseline)")
+                    help="(default) force the per-step-scan sampler")
     ap.add_argument("--no-batch", action="store_true",
                     help="wavefront without window-batched coefficients "
                          "(A/B baseline)")
@@ -82,18 +89,28 @@ def main():
         from blacklight_tpu.constants import FrequencySpacing
         cfg.image_frequency_spacing = FrequencySpacing.log
 
+    use_wf = args.wavefront and not args.no_wavefront and not args.kernel
     render_fn, geom, rays, frequencies, mass = make_simulation_renderer(
-        cfg, wavefront=not args.no_wavefront,
-        wavefront_batch=not args.no_batch)
-    res, tile = args.res, args.tile
+        cfg, wavefront=use_wf, wavefront_batch=not args.no_batch,
+        kernel=args.kernel)
+    res = args.res
+    tile = args.tile if args.tile else (32 if args.kernel else 128)
     n = res * res
     idx = np.arange(n).reshape(res, res)
     order = idx.reshape(res // tile, tile, res // tile,
                         tile).transpose(0, 2, 1, 3).reshape(-1)
+    if args.kernel and tile == 32:
+        # 8x16 pixel patches per 128-ray sublane group (squarer patches
+        # than raster rows -> tighter angular bricks, fewer latched rays)
+        patch = (np.arange(tile * tile).reshape(4, 8, 2, 16)
+                 .transpose(0, 2, 1, 3).reshape(-1))
+        order = order.reshape(-1, tile * tile)[:, patch].reshape(-1)
     P = np.asarray(rays.positions)[order]
     D = np.asarray(rays.directions)[order]
     M = np.asarray(rays.momentum_factors)[order]
-    chunk = tile * tile
+    # Tile ordering sets per-1024-ray-block coherence; dispatch chunks can
+    # be larger (the kernel grids over 1024-ray blocks internally).
+    chunk = max(tile * tile, 16384)
 
     def render_all():
         outs = []
@@ -113,13 +130,16 @@ def main():
     t = min(times)
     i_img = np.concatenate([np.asarray(o["I_nu"])[:, 0] for o in outs])
     assert np.isfinite(np.nanmax(i_img)), "bad image"
+    fallback = sum(int(np.asarray(o["_kernel_fallback"]).sum())
+                   for o in outs if "_kernel_fallback" in o)
     print(json.dumps({
         "res": res, "steps": args.steps, "grid": args.grid,
-        "freqs": args.freqs,
-        "wavefront": not args.no_wavefront,
-        "wavefront_batch": not args.no_wavefront and not args.no_batch,
-        "wf_mode": pipeline_simulation.WAVEFRONT_MODE
-        if not args.no_wavefront else None,
+        "freqs": args.freqs, "tile": tile,
+        "kernel": args.kernel,
+        "kernel_fallback_rays": fallback,
+        "wavefront": use_wf,
+        "wavefront_batch": use_wf and not args.no_batch,
+        "wf_mode": pipeline_simulation.WAVEFRONT_MODE if use_wf else None,
         "wf_window": pipeline_simulation.WAVEFRONT_WINDOW,
         "wf_brick": list(pipeline_simulation.WAVEFRONT_BRICK),
         "precision": args.precision, "time_s": round(t, 2),

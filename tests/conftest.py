@@ -33,6 +33,7 @@ SLOW_MODULES = {
     "test_amr",
     "test_formula_e2e",
     "test_multiprocess",
+    "test_pallas_simulation",
     "test_polarized_e2e",
     "test_reference_goldens",
     "test_render_truecolor",
