@@ -84,6 +84,12 @@ THETA_E_ZERO = 0.01  # reference radiation_integrator.hpp:190
 # minimum anchor so angular drift during the window stays inside; overflow
 # latches per ray and falls back to the XLA path.
 WINDOW = 8
+# Compute cost scales with the ACTIVE rel-box (the block's anchor span),
+# not the brick extents - the per-line pl.when skips margin lines - but
+# the per-window DMA volume DOES scale with the brick, and measured
+# end-to-end (12,12) beats both (6,6) (too much overflow fallback) and
+# (16,12) (fallback drops 10.4% -> 8.1% but the extra slab bandwidth
+# costs more than the fallback saved: 43.5k vs 37.3k rays/s).
 BRICK = (12, 12)  # (BK, BJ) angular cells per sublane group
 MARGIN = (4, 4)
 
@@ -580,7 +586,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                *out_and_scratch):
         i_outs = out_and_scratch[:nf]
         flag_out, nsamp_out, ovf_out = out_and_scratch[nf:nf + 3]
-        brick_scr, sem = out_and_scratch[nf + 3:]
+        brick_scr, acc_scr, sem = out_and_scratch[nf + 3:]
 
         x0, x1, x2, x3 = x0r[:], x1r[:], x2r[:], x3r[:]
         p0, p1, p2, p3 = p0r[:], p1r[:], p2r[:], p3r[:]
@@ -662,15 +668,6 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             rel_j = jnp.clip(rel_j, 0, bj - 2)
             rel_k = jnp.clip(rel_k, 0, bk - 2)
 
-            # Radial gathers: for each (var, angular line, radial chunk),
-            # one lane gather at i_m and one at i_m + 1; the 4 angular
-            # corners then reuse these through shifted (rel_k, rel_j)
-            # masks, so the gather count is independent of corner count.
-            masks = {}
-            for tk in range(bk - 1):
-                for tj in range(bj - 1):
-                    masks[(tk, tj)] = ((rel_k == tk) & (rel_j == tj)) \
-                        .astype(jnp.float32)
             i_lo = im_i
             i_hi = im_i + 1
 
@@ -692,43 +689,79 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             w_j0 = 1.0 - f_j
             w_k1 = f_k
             w_k0 = 1.0 - f_k
-            # (dk, dj, di) weights in grid/sampling._CORNER_ORDER
-            corner_w = {
-                (0, 0, 0): w_k0 * w_j0 * w_i0, (0, 0, 1): w_k0 * w_j0 * w_i1,
-                (0, 1, 0): w_k0 * w_j1 * w_i0, (0, 1, 1): w_k0 * w_j1 * w_i1,
-                (1, 0, 0): w_k1 * w_j0 * w_i0, (1, 0, 1): w_k1 * w_j0 * w_i1,
-                (1, 1, 0): w_k1 * w_j1 * w_i0, (1, 1, 1): w_k1 * w_j1 * w_i1,
-            }
+            # (dk, dj) corner weights for di = 0 / 1
+            # (grid/sampling._CORNER_ORDER trilinear terms)
+            cw0 = {(0, 0): w_k0 * w_j0 * w_i0, (0, 1): w_k0 * w_j1 * w_i0,
+                   (1, 0): w_k1 * w_j0 * w_i0, (1, 1): w_k1 * w_j1 * w_i0}
+            cw1 = {(0, 0): w_k0 * w_j0 * w_i1, (0, 1): w_k0 * w_j1 * w_i1,
+                   (1, 0): w_k1 * w_j0 * w_i1, (1, 1): w_k1 * w_j1 * w_i1}
+
             named = {}
             if "gather" in ablate:  # timing ablation only - wrong values
                 for nm in names:
                     named[nm] = f_i + 0.1
-            for nm in names if "gather" not in ablate else ():
-                v = var_of[nm]
-                g_lo = {}
-                g_hi = {}
+            else:
+                # Per-line accumulation with SCALAR predication: fold the
+                # trilinear corner weights into one (W_lo, W_hi) pair per
+                # angular line t - each ray has nonzero weight on at most
+                # 4 lines - and accumulate W_lo * gather(line, i_m) +
+                # W_hi * gather(line, i_m + 1) into VMEM accumulators. The
+                # brick is mostly margin: the block's live anchors span a
+                # small rel-box, so lines outside it are skipped entirely
+                # by a scalar pl.when (unpredicated, the gather stage is
+                # more than half of the kernel's step time).
+                big_i = jnp.asarray(10 ** 6, jnp.int32)
+                boxed = use & ~oob
+                kb_lo = jnp.min(jnp.where(boxed, rel_k, big_i))
+                kb_hi = jnp.max(jnp.where(boxed, rel_k, -big_i))
+                jb_lo = jnp.min(jnp.where(boxed, rel_j, big_i))
+                jb_hi = jnp.max(jnp.where(boxed, rel_j, -big_i))
+                acc_scr[...] = jnp.zeros((nvar + 2, rows, LANES),
+                                         jnp.float32)
+                rho_v = var_of["rho"]
+                pgas_v = var_of["pgas"]
                 for tk in range(bk):
                     for tj in range(bj):
-                        line = scratch[:, v, tk, tj, :]     # (8, n_i_pad)
-                        g_lo[(tk, tj)] = chunk_gather(line, i_lo)
-                        g_hi[(tk, tj)] = chunk_gather(line, i_hi)
-                acc = None
-                anchor = None
-                for dk in (0, 1):
-                    for dj in (0, 1):
-                        c_lo = jnp.zeros(shape, jnp.float32)
-                        c_hi = jnp.zeros(shape, jnp.float32)
-                        for (tk, tj), m in masks.items():
-                            c_lo += m * g_lo[(tk + dk, tj + dj)]
-                            c_hi += m * g_hi[(tk + dk, tj + dj)]
-                        if dk == 0 and dj == 0:
-                            anchor = c_lo
-                        term = corner_w[(dk, dj, 0)] * c_lo \
-                            + corner_w[(dk, dj, 1)] * c_hi
-                        acc = term if acc is None else acc + term
-                if nm in ("rho", "pgas"):
-                    acc = jnp.where(acc <= 0.0, anchor, acc)
-                named[nm] = acc
+                        shifts = [(dk, dj)
+                                  for dk in (0, 1) for dj in (0, 1)
+                                  if 0 <= tk - dk <= bk - 2
+                                  and 0 <= tj - dj <= bj - 2]
+                        if not shifts:
+                            continue
+
+                        @pl.when((tk >= kb_lo) & (tk <= kb_hi + 1)
+                                 & (tj >= jb_lo) & (tj <= jb_hi + 1))
+                        def _(tk=tk, tj=tj, shifts=shifts):
+                            w_lo = None
+                            w_hi = None
+                            m_anchor = None
+                            for dk, dj in shifts:
+                                m = ((rel_k == tk - dk)
+                                     & (rel_j == tj - dj)) \
+                                    .astype(jnp.float32)
+                                if dk == 0 and dj == 0:
+                                    m_anchor = m
+                                t_lo = cw0[(dk, dj)] * m
+                                t_hi = cw1[(dk, dj)] * m
+                                w_lo = t_lo if w_lo is None else w_lo + t_lo
+                                w_hi = t_hi if w_hi is None else w_hi + t_hi
+                            for vi, nm in enumerate(names):
+                                line = scratch[:, var_of[nm], tk, tj, :]
+                                glo = chunk_gather(line, i_lo)
+                                ghi = chunk_gather(line, i_hi)
+                                acc_scr[vi] += w_lo * glo + w_hi * ghi
+                                if m_anchor is not None:
+                                    if var_of[nm] == rho_v:
+                                        acc_scr[nvar] += m_anchor * glo
+                                    elif var_of[nm] == pgas_v:
+                                        acc_scr[nvar + 1] += m_anchor * glo
+                for vi, nm in enumerate(names):
+                    acc = acc_scr[vi]
+                    if nm == "rho":
+                        acc = jnp.where(acc <= 0.0, acc_scr[nvar], acc)
+                    elif nm == "pgas":
+                        acc = jnp.where(acc <= 0.0, acc_scr[nvar + 1], acc)
+                    named[nm] = acc
             fb = {"rho": sp.fallback_rho, "pgas": sp.fallback_pgas,
                   "uu1": 0.0, "uu2": 0.0, "uu3": 0.0,
                   "bb1": 0.0, "bb2": 0.0, "bb3": 0.0}
@@ -739,14 +772,24 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
 
             # coefficients (pipeline_simulation.make_simulation_coeff_fns)
             keep_geo = _geometric_keep_c(sx1, sx2, sx3, r, th, sp, cam)
-            st = _fluid_state_c(sx1, sx2, sx3, r, spin, named, sp)
-            keep_val = _value_keep_c(st, sp)
+            if "fluid" in ablate:  # timing ablation only - wrong values
+                one = named["rho"] + 1.0
+                st = dict(n_e=one, bb_cgs=one, sigma=one, beta_inv=one,
+                          theta_e=one, kb_tt_e=one, rho_cgs=one,
+                          pgas_cgs=one, u=(one, one, one, one),
+                          b=(one, one, one, one), b_sq=one)
+                keep_val = None
+                sin_b = 0.5 * one
+                u_dot_k = -one
+            else:
+                st = _fluid_state_c(sx1, sx2, sx3, r, spin, named, sp)
+                keep_val = _value_keep_c(st, sp)
+                sin_b, u_dot_k = _pitch_angle_c(st, sk0, sk1, sk2, sk3)
             b_zero = ((named["bb1"] == 0.0) & (named["bb2"] == 0.0)
                       & (named["bb3"] == 0.0))
             keep = keep_geo & ~b_zero
             if keep_val is not None:
                 keep = keep & keep_val
-            sin_b, u_dot_k = _pitch_angle_c(st, sk0, sk1, sk2, sk3)
             coeff_bad = nan_mask & keep_geo
 
             bad_acc = jnp.zeros(shape, jnp.int32)
@@ -877,6 +920,9 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
         def window_setup(s):
             """Angular anchor vote per sublane group, one angular-line
             slab DMA per group (full radial axis as lanes)."""
+            if "window" in ablate:  # timing ablation only - wrong values
+                zero_v = jnp.zeros((rows, LANES), jnp.int32)
+                return (zero_v, zero_v)
             r, th, ph = sks_of(s["x1"], s["x2"], s["x3"])
             # Live, not-yet-overflowed, ON-GRID rays vote on the origin:
             # off-grid rays' clamped anchors sit at the boundary (a ray
@@ -1037,6 +1083,7 @@ def render_simulation(positions, directions, momentum_factors, frequencies,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((rows, kg.nvar, bk, bj, kg.n_i_pad), jnp.float32),
+            pltpu.VMEM((kg.nvar + 2, rows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((rows,))],
         # The angular-line tables exceed the default 16 MB scoped-VMEM
         # budget at production brick sizes; v5e has ~120 MB usable
