@@ -69,9 +69,12 @@ from blacklight_tpu.ops.geometry import geodesic_rhs_c, renormalize_factor_c
 from blacklight_tpu.ops.pallas_formula import _expm1, _radius_c
 
 ROWS = 32            # rays per block = ROWS * 128; per-step control and
-                     # op-issue latency amortize over sublanes, so bigger
-                     # blocks are faster per ray (sublane groups stay 128
-                     # rays, so brick coherence is unchanged)
+                     # op-issue latency amortize over sublanes (per-ray
+                     # step cost nearly halves going 8 -> 32 rows), but a
+                     # block runs until its SLOWEST ray terminates, and at
+                     # 64 rows the ragged-exit penalty of grouping 8 image
+                     # tiles outweighs the amortization (35.9k vs 43.5k
+                     # rays/s end to end)
 LANES = 128
 DELTA_TAU_MAX = 100.0
 THETA_E_ZERO = 0.01  # reference radiation_integrator.hpp:190

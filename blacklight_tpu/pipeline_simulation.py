@@ -241,7 +241,7 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                              early_exit: bool = True,
                              wavefront: bool = False,
                              wavefront_batch: bool = True,
-                             kernel: bool = False):
+                             kernel: bool = True):
     """Build a reusable simulation-model renderer.
 
     Returns (render_fn, geom, rays, frequencies, mass_msun) where
@@ -250,10 +250,14 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
 
     kernel: use the fused Pallas kernel (ops/pallas_simulation.py) on
     eligible configurations (single-block SKS grid, thermal ti_te_beta,
-    unpolarized image_light only, rk4/rk2, float32). Rays whose window
-    brick overflowed (incoherent bundles) are transparently re-rendered
-    on the exact XLA path. Forward rendering only; gradient callers use
-    integrate_unpolarized directly.
+    unpolarized image_light only, rk4/rk2, float32, running on a real
+    TPU backend). Rays whose window brick overflowed (incoherent
+    bundles) are transparently re-rendered on the exact XLA path; kernel
+    values agree with the XLA path to ~1e-4 relative (float32
+    reassociation + polynomial arccos/arctan2 - see
+    tests/test_pallas_simulation.py). Pass kernel=False for bit-level
+    XLA-path reproducibility. Forward rendering only; gradient callers
+    use integrate_unpolarized directly.
 
     wavefront: allow the windowed deduplicated sampler (grid/wavefront.py)
     on eligible bundles when the Pallas kernel is off/ineligible. Values
@@ -361,7 +365,11 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                 sub-key so each 128-ray sublane group is a compact patch.
                 The kernel's brick-overflow rate depends directly on this
                 coherence; the caller's ray order (raster, adaptive
-                blocks, ...) is otherwise arbitrary."""
+                blocks, ...) is otherwise arbitrary. (A leading
+                image-radius key - grouping tiles of similar ray lifetime
+                to cut the ragged-exit tax - measured SLOWER: same-radius
+                tiles from different quadrants widen the block's active
+                anchor box and the predicated gather stage pays for it.)"""
                 q = np.asarray(positions)[:, 1:4]
                 q = q - q.mean(axis=0)
                 _, vecs = np.linalg.eigh(q.T @ q)
