@@ -42,7 +42,7 @@ scripts/bench_simulation.py.
 
 Scope: single-block SKS-coordinate grids, simulation_interp=true with
 clamped-to-block interpolation, ti_te_beta thermal plasma, unpolarized
-image_light (any number of frequencies), rk4/rk2 integrators. Everything
+image_light (any number of frequencies), dp/rk4/rk2 integrators. Everything
 else uses the XLA path (pipeline_simulation.py routes).
 
 Reference anchors: geodesics src/geodesic_integrator/geodesics.cpp:418-795;
@@ -609,6 +609,10 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             bad=i_false, ovf=i_false,
             r_mid_prev=zero, n_samp=jnp.zeros(shape, jnp.int32),
         )
+        if integrator == "dp":
+            state0["h"] = -params.ray_step * _radius_c(x1, x2, x3, spin)
+            state0["num_retry"] = jnp.zeros(shape, jnp.int32)
+            state0["prev_fail"] = i_false
         for f_i in range(nf):
             state0[f"I{f_i}"] = zero
             state0[f"tau{f_i}"] = zero
@@ -920,6 +924,140 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                 **out_tr,
             )
 
+        def dp_step(s, n_abs, origins):
+            """One Dormand-Prince attempt + fused sampling/transfer (port
+            of pallas_formula's dp body: reference error control,
+            geodesics.cpp:39-323, with the sample-density h cap replacing
+            dense-output subdivision)."""
+            x0, x1, x2, x3 = s["x0"], s["x1"], s["x2"], s["x3"]
+            p1, p2, p3 = s["p1"], s["p2"], s["p3"]
+            live = n_abs < max_steps
+            s_alive = (s["alive"] > 0) & live
+            s_trunc = s["trunc"] > 0
+            s_flag = s["flag"] > 0
+            s_prev_fail = s["prev_fail"] > 0
+            r = _radius_c(x1, x2, x3, spin)
+
+            def rhs_d(a0, a1, a2, a3, b0, b1, b2, b3):
+                return geodesic_rhs_c(a1, a2, a3, b0, b1, b2, b3, spin,
+                                      mass, flat=flat, with_distance=True)
+
+            A = geo._DP_A
+            B5, B4, B4M = geo._DP_B5, geo._DP_B4, geo._DP_B4M
+            k = [None] * 7
+            k[0] = rhs_d(x0, x1, x2, x3, p0, p1, p2, p3)
+            ds_dlam = jnp.abs(k[0][7]) + 1e-30
+            h_cap = params.ray_step * r / ds_dlam
+            h = -jnp.minimum(jnp.abs(s["h"]), h_cap)
+
+            comps = (x0, x1, x2, x3, p1, p2, p3)
+
+            def add_stage(base, weights, stages, scale):
+                out = []
+                for ci in range(7):
+                    acc = None
+                    for q in stages:
+                        wq = float(weights[q])
+                        if wq == 0.0:
+                            continue
+                        term = (wq * scale) * k[q][ci]
+                        acc = term if acc is None else acc + term
+                    out.append(base[ci] if acc is None else base[ci] + acc)
+                return out
+
+            for i in range(1, 7):
+                ysub = add_stage(comps, A[i], range(i), h)
+                k[i] = rhs_d(ysub[0], ysub[1], ysub[2], ysub[3], p0,
+                             ysub[4], ysub[5], ysub[6])
+
+            y5 = add_stage(comps, B5, range(7), h)
+            y4 = add_stage(comps, B4, range(7), h)
+            y4m = add_stage(comps, B4M, range(7), h)
+
+            err = jnp.zeros(shape, jnp.float32)
+            for ci in range(7):
+                ya = jnp.maximum(jnp.abs(comps[ci]), jnp.abs(y5[ci]))
+                sc = params.ray_tol_abs + params.ray_tol_rel * ya
+                err = jnp.maximum(err, jnp.abs(y5[ci] - y4[ci]) / sc)
+
+            accept = err <= 1.0
+            err_safe = jnp.maximum(err, 1e-30)
+            fac_ideal = geo._DP_ERR_FACTOR * err_safe ** (-geo._DP_ERR_POWER)
+            fac_rej = jnp.maximum(
+                jnp.where(jnp.isfinite(err), fac_ideal, geo._DP_MIN_FACTOR),
+                geo._DP_MIN_FACTOR)
+            fac_acc = jnp.clip(fac_ideal, geo._DP_MIN_FACTOR,
+                               geo._DP_MAX_FACTOR)
+            fac_acc = jnp.where(err == 0.0, geo._DP_MAX_FACTOR, fac_acc)
+            fac_acc = jnp.where(s_prev_fail, jnp.minimum(fac_acc, 1.0),
+                                fac_acc)
+            h_next = h * jnp.where(accept, fac_acc, fac_rej)
+
+            num_retry = jnp.where(accept, 0, s["num_retry"] + 1)
+            retry_exceeded = num_retry > params.ray_max_retries
+            flag = s_flag | (s_alive & retry_exceeded)
+            dead_from_retry = s_alive & retry_exceeded
+
+            fac = renormalize_factor_c(y5[1], y5[2], y5[3], p0,
+                                       y5[4], y5[5], y5[6], spin, mass,
+                                       flat=flat)
+            e1, e2, e3 = y5[4] * fac, y5[5] * fac, y5[6] * fac
+            r_new = _radius_c(y5[1], y5[2], y5[3], spin)
+
+            facm = renormalize_factor_c(y4m[1], y4m[2], y4m[3], p0,
+                                        y4m[4], y4m[5], y4m[6], spin, mass,
+                                        flat=flat)
+            m1, m2, m3 = y4m[4] * facm, y4m[5] * facm, y4m[6] * facm
+            r_mid = _radius_c(y4m[1], y4m[2], y4m[3], spin)
+
+            have_prev = s["n_samp"] > 0
+            trunc_now = have_prev & (
+                ((r_mid > params.camera_r) & (r_mid > s["r_mid_prev"]))
+                | (r_mid < params.r_terminate))
+            trunc = s_trunc | (s_alive & accept & trunc_now)
+            valid = s_alive & accept & ~trunc & ~retry_exceeded
+
+            terminate = ((r_new > params.camera_r) & (r_new > r)) \
+                | (r_new < params.r_terminate)
+            is_last = n_abs == max_steps - 1
+            flag = flag | (s_alive & accept & ~terminate & is_last)
+            alive = (s["alive"] > 0) & ~(s_alive & accept & terminate) \
+                & ~dead_from_retry
+
+            out_tr = {}
+            bad_acc, ovf_acc = sample_update(
+                s, out_tr, valid, y4m[0], y4m[1], y4m[2], y4m[3],
+                p0, m1, m2, m3, h, brick_scr, origins)
+
+            park = ~alive
+            step_taken = s_alive & accept
+
+            def sel(pv, nv, ov):
+                return jnp.where(park, pv, jnp.where(step_taken, nv, ov))
+
+            return dict(
+                w=s["w"],
+                x0=sel(0.0, y5[0], x0), x1=sel(1.0e3, y5[1], x1),
+                x2=sel(0.0, y5[2], x2), x3=sel(0.0, y5[3], x3),
+                p1=sel(1.0, e1, p1), p2=sel(0.0, e2, p2),
+                p3=sel(0.0, e3, p3),
+                h=jnp.where(s_alive, h_next, s["h"]),
+                num_retry=jnp.where(s_alive, num_retry, s["num_retry"]),
+                prev_fail=((s_alive & ~accept)
+                           | (jnp.logical_not(s_alive) & s_prev_fail))
+                .astype(jnp.int32),
+                alive=alive.astype(jnp.int32),
+                trunc=((live & trunc)
+                       | (jnp.logical_not(live) & s_trunc))
+                .astype(jnp.int32),
+                flag=flag.astype(jnp.int32),
+                bad=s["bad"] | bad_acc,
+                ovf=s["ovf"] | ovf_acc,
+                r_mid_prev=jnp.where(valid, r_mid, s["r_mid_prev"]),
+                n_samp=s["n_samp"] + valid.astype(jnp.int32),
+                **out_tr,
+            )
+
         def window_setup(s):
             """Angular anchor vote per sublane group, one angular-line
             slab DMA per group (full radial axis as lanes)."""
@@ -998,8 +1136,10 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             origins = window_setup(s)
             base = s["w"] * window
 
+            step_fn = dp_step if integrator == "dp" else rk_step
+
             def inner(t, st):
-                return rk_step(st, base + t, origins)
+                return step_fn(st, base + t, origins)
 
             s = jax.lax.fori_loop(0, window, inner, s)
             s = dict(s)

@@ -250,8 +250,9 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
 
     kernel: use the fused Pallas kernel (ops/pallas_simulation.py) on
     eligible configurations (single-block SKS grid, thermal ti_te_beta,
-    unpolarized image_light only, rk4/rk2, float32, running on a real
-    TPU backend). Rays whose window brick overflowed (incoherent
+    unpolarized image_light only, rk4/rk2 - dp needs kernel="force" -
+    float32, running on a real TPU backend). Rays whose window brick
+    overflowed (incoherent
     bundles) are transparently re-rendered on the exact XLA path; kernel
     values agree with the XLA path to ~1e-4 relative (float32
     reassociation + polynomial arccos/arctan2 - see
@@ -331,8 +332,16 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                   or opts.tau or opts.lambda_ave or opts.emission_ave
                   or opts.tau_int or opts.crossings
                   or opts.track_sample_times)
-    integ_name = {RayIntegrator.rk4: "rk4", RayIntegrator.rk2: "rk2"}.get(
+    integ_name = {RayIntegrator.dp: "dp", RayIntegrator.rk4: "rk4",
+                  RayIntegrator.rk2: "rk2"}.get(
         cfg.require("ray_integrator"))
+    # dp routes to the XLA path unless the kernel is FORCED: its adaptive
+    # error controller makes kernel-vs-scan parity statistical rather than
+    # per-ray, and its anchor drift latches ~30% of rays into the XLA
+    # fallback, leaving the dp kernel measured slightly SLOWER than the
+    # XLA dp path (30.6k vs 31.6k rays/s at 1024^2).
+    if integ_name == "dp" and kernel != "force":
+        integ_name = None
     kernel_render = None
     if (kernel and jax.default_backend() == "tpu"
             and not polarized and cfg.require("image_light")
@@ -355,9 +364,14 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
             freqs_np = np.asarray(frequencies)
             cam_np = np.asarray(geom.cam_x)
 
+            # dp's adaptive steps sweep much farther per attempt in the
+            # far field, so its anchor drift needs shorter brick windows
+            # to keep the overflow-fallback fraction down.
+            kernel_window = 4 if integ_name == "dp" else psim.WINDOW
             kernel_jit = jax.jit(lambda p, d, m, kg: psim.render_simulation(
                 p, d, m, freqs_np, params, sp_k, kg, mass_msun, cam_np,
-                _synchro.log_j_scale(nu0_k), integrator=integ_name))
+                _synchro.log_j_scale(nu0_k), integrator=integ_name,
+                window=kernel_window))
 
             def _spatial_order(positions):
                 """Group rays into ~32x32-pixel tiles (1024-ray kernel

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--kernel", action="store_true",
                     help="use the fused Pallas simulation kernel")
     ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--integrator", choices=["dp", "rk4", "rk2"],
+                    default=None, help="override the config's integrator")
     ap.add_argument("--grid", default="128,64,64")
     ap.add_argument("--freqs", type=int, default=1,
                     help="number of image frequencies (true-color = 10)")
@@ -80,6 +82,9 @@ def main():
     cfg.simulation_file = mock
     cfg.precision = args.precision
     cfg.ray_max_steps = args.steps
+    if args.integrator:
+        from blacklight_tpu.constants import RayIntegrator
+        cfg.ray_integrator = getattr(RayIntegrator, args.integrator)
     cfg.camera_resolution = args.res
     if args.freqs > 1:
         # true-color style log-spaced band (example_true_color.input)
@@ -92,7 +97,7 @@ def main():
     use_wf = args.wavefront and not args.no_wavefront and not args.kernel
     render_fn, geom, rays, frequencies, mass = make_simulation_renderer(
         cfg, wavefront=use_wf, wavefront_batch=not args.no_batch,
-        kernel=args.kernel)
+        kernel="force" if args.kernel else False)
     res = args.res
     tile = args.tile if args.tile else (32 if args.kernel else 128)
     n = res * res
@@ -134,6 +139,7 @@ def main():
                    for o in outs if "_kernel_fallback" in o)
     print(json.dumps({
         "res": res, "steps": args.steps, "grid": args.grid,
+        "integrator": args.integrator or "rk4",
         "freqs": args.freqs, "tile": tile,
         "kernel": args.kernel,
         "kernel_fallback_rays": fallback,

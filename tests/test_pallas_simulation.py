@@ -64,8 +64,8 @@ def _render_both(cfg, window=psim.WINDOW, brick=psim.BRICK,
                                 plasma_params_from_config(cfg),
                                 cut_params_from_config(cfg))
     from blacklight_tpu.constants import RayIntegrator
-    integ = {RayIntegrator.rk4: "rk4", RayIntegrator.rk2: "rk2"}[
-        cfg.require("ray_integrator")]
+    integ = {RayIntegrator.dp: "dp", RayIntegrator.rk4: "rk4",
+             RayIntegrator.rk2: "rk2"}[cfg.require("ray_integrator")]
     nu0 = float(np.asarray(freqs)[0])
     i_img, flags, nsamp, ovf = psim.render_simulation(
         P, D, M, np.asarray(freqs), params, sp, kg, mass_msun,
@@ -76,24 +76,41 @@ def _render_both(cfg, window=psim.WINDOW, brick=psim.BRICK,
                  np.asarray(ovf))
 
 
-@pytest.mark.parametrize("integ", ["rk4", "rk2"])
+@pytest.mark.parametrize("integ", ["rk4", "rk2", "dp"])
 def test_kernel_matches_xla(fixtures_dir, integ):
     from blacklight_tpu.constants import RayIntegrator
 
-    cfg = _setup(fixtures_dir,
+    # dp steps are adaptive ATTEMPTS; the shadow tile's winding rays need
+    # a deeper budget to terminate (the reference default is 7000).
+    cfg = _setup(fixtures_dir, steps=2048 if integ == "dp" else 1024,
                  ray_integrator=getattr(RayIntegrator, integ))
     ref, (i_img, flags, nsamp, ovf) = _render_both(cfg)
     # Shadow-straddling tile: the fanning minority may latch overflow,
     # but the coherent majority must stay on the fast path.
     assert ovf.mean() < 0.5, f"overflow fraction {ovf.mean()}"
     I_ref = np.asarray(ref["I_nu"])
+    ref_flags = np.asarray(ref["_flags"])
+    ref_nsamp = np.asarray(ref["_n_samples"])
+    geo_same = (flags == ref_flags) & (nsamp == ref_nsamp)
+    if integ == "dp":
+        # The dp error controller chaos-amplifies 1-ulp arithmetic
+        # differences (compiler FMA contraction) into different
+        # accept/reject sequences, so step counts differ ray by ray -
+        # exactly why dp parity vs the reference is also statistical
+        # (test_simulation_e2e.test_simulation_dp_quadrature_parity).
+        # Both integrations satisfy the same tolerances; gate the IMAGE
+        # statistically instead.
+        ok = ~ovf & ~np.isnan(I_ref[:, 0])
+        assert ok.sum() > 100, "too few terminated pixels to compare"
+        rel = np.abs(i_img[ok] - I_ref[ok]) \
+            / (np.abs(I_ref[ok]) + np.nanmax(np.abs(I_ref)) * 1e-8)
+        assert np.nanmax(rel) < 6e-2, f"max rel {np.nanmax(rel)}"
+        assert np.nanmean(rel) < 5e-3, f"mean rel {np.nanmean(rel)}"
+        return
     # flags / n_samples are geodesic-only, but compiler fusion (FMA
     # contraction) rounds differently between the kernel and the XLA
     # scan, so O(1e-3) of rays sitting exactly on a truncation threshold
     # may flip by one sample; everything else must agree exactly.
-    ref_flags = np.asarray(ref["_flags"])
-    ref_nsamp = np.asarray(ref["_n_samples"])
-    geo_same = (flags == ref_flags) & (nsamp == ref_nsamp)
     assert geo_same.mean() > 0.99, f"geodesic agreement {geo_same.mean()}"
     ok = ~ovf & geo_same
     np.testing.assert_array_equal(np.isnan(i_img[ok]), np.isnan(I_ref[ok]))
