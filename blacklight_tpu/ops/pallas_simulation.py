@@ -151,12 +151,15 @@ def prepare_kernel_grid(grid, brick=BRICK) -> Optional[KernelGrid]:
     bk = brick[0]
     if n_k < bk or n_j < brick[1]:
         return None
-    prim = np.asarray(grid.prim[:, 0], np.float32)        # (nvar, k, j, i)
-    tab = np.concatenate([prim, prim[:, :bk]], axis=1)    # phi pad
+    # Build the table ON DEVICE from the already-resident prim: a host
+    # round-trip of the snapshot costs minutes over the remote-TPU tunnel.
+    prim = grid.prim[:, 0].astype(jnp.float32)            # (nvar, k, j, i)
+    tab = jnp.concatenate([prim, prim[:, :bk]], axis=1)   # phi pad
     n_i_pad = -(-n_i // 128) * 128
     if n_i_pad != n_i:
-        tab = np.concatenate(
-            [tab, np.zeros(tab.shape[:-1] + (n_i_pad - n_i,), np.float32)],
+        tab = jnp.concatenate(
+            [tab, jnp.zeros(tab.shape[:-1] + (n_i_pad - n_i,),
+                            jnp.float32)],
             axis=-1)
     x1f = np.asarray(grid.x1f[0], np.float64)
     x2f = np.asarray(grid.x2f[0], np.float64)
@@ -167,7 +170,7 @@ def prepare_kernel_grid(grid, brick=BRICK) -> Optional[KernelGrid]:
     bounds = (float(x1f[0]), float(x1f[-1]), float(x2f[0]), float(x2f[-1]),
               float(x3f[0]), float(x3f[-1]))
     return KernelGrid(
-        table=jnp.asarray(tab),
+        table=tab,
         x1f=jnp.asarray(_pad_col(x1f, 8)), x1v=jnp.asarray(_pad_col(x1v, 8)),
         x2f=jnp.asarray(_pad_col(x2f, 8)), x2v=jnp.asarray(_pad_col(x2v, 8)),
         x3f=jnp.asarray(_pad_col(x3f, 8)),
