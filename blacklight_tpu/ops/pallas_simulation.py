@@ -230,12 +230,16 @@ def _acos_c(c):
     return _atan2_c(s, c)
 
 
-def _cks_to_sks_c(x, y, z, spin):
-    """CKS -> SKS componentwise (ops/sks.cks_to_sks with in-kernel trig)."""
-    a2 = spin * spin
-    rr2 = x * x + y * y + z * z
-    r2 = 0.5 * (rr2 - a2 + jnp.hypot(rr2 - a2, 2.0 * spin * z))
-    r = jnp.sqrt(r2)
+def _cks_to_sks_c(x, y, z, spin, r=None):
+    """CKS -> SKS componentwise (ops/sks.cks_to_sks with in-kernel trig).
+
+    Pass a precomputed Kerr-Schild radius `r` (bitwise `_radius_c` of the
+    same point) to skip the hypot + sqrt."""
+    if r is None:
+        a2 = spin * spin
+        rr2 = x * x + y * y + z * z
+        r2 = 0.5 * (rr2 - a2 + jnp.hypot(rr2 - a2, 2.0 * spin * z))
+        r = jnp.sqrt(r2)
     th = _acos_c(jnp.clip(z / r, -1.0, 1.0))
     ph = _atan2_c(y, x) - _atan_c(spin / r)
     two_pi = 2.0 * math.pi
@@ -535,7 +539,8 @@ def _thermal_j_alpha_c(nu_cgs, nu0, st, sin_b, sp: SimKernelParams):
 def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                  nus, mass_msun, camera_x, log_j_scale,
                  integrator="rk4", window=WINDOW, brick=BRICK,
-                 margin=MARGIN, interpret=False, ablate=(), rows=ROWS):
+                 margin=MARGIN, interpret=False, ablate=(), rows=ROWS,
+                 unroll=True):
     """Build the fused kernel closure. kg_meta = (n_i, n_j, n_k, n_i_pad,
     nvar, ind, bounds) - static ints/floats only; the table/coordinate
     arrays arrive as refs."""
@@ -548,6 +553,12 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
     i_scales = [math.exp(log_j_scale + 3.0 * math.log(nu)) for nu in nus]
     max_steps = params.ray_max_steps
     cam = tuple(float(v) for v in np.asarray(camera_x))
+    # Kerr-Schild radius of the camera (the parking point for invalid
+    # samples), precomputed on host so the kernel can skip the per-step
+    # radius recompute inside the CKS->SKS conversion.
+    _d = cam[1] * cam[1] + cam[2] * cam[2] + cam[3] * cam[3] - spin * spin
+    r_cam = float(np.float32(math.sqrt(
+        0.5 * (_d + math.hypot(_d, 2.0 * spin * cam[3])))))
     bk, bj = brick
     mk, mj = margin
     n_chunks = n_i_pad // 128
@@ -605,30 +616,40 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
         # never vote on brick origins; real rays never start there (the
         # camera is interior to it by construction).
         alive0 = (x1 != 1.0e3).astype(jnp.int32)
+        r0 = _radius_c(x1, x2, x3, spin)
         state0 = dict(
             w=jnp.zeros((), jnp.int32),
             x0=x0, x1=x1, x2=x2, x3=x3, p1=p1, p2=p2, p3=p3,
+            # Kerr-Schild radius of the current position, carried across
+            # steps (each step's r_new is the next step's r) so the
+            # step-size/termination radius is never recomputed.
+            r=r0,
             alive=alive0, trunc=i_false, flag=i_false,
             bad=i_false, ovf=i_false,
             r_mid_prev=zero, n_samp=jnp.zeros(shape, jnp.int32),
         )
         if integrator == "dp":
-            state0["h"] = -params.ray_step * _radius_c(x1, x2, x3, spin)
+            state0["h"] = -params.ray_step * r0
             state0["num_retry"] = jnp.zeros(shape, jnp.int32)
             state0["prev_fail"] = i_false
         for f_i in range(nf):
             state0[f"I{f_i}"] = zero
-            state0[f"tau{f_i}"] = zero
+            # attenuation exp(-tau) carried multiplicatively: each step
+            # multiplies by exp(-delta_tau) (= 1 - em, already computed)
+            # instead of accumulating tau and paying an exp per frequency
+            # per step
+            state0[f"A{f_i}"] = jnp.ones(shape, f32)
 
-        def sks_of(cx, cy, cz):
-            return _cks_to_sks_c(cx, cy, cz, spin)
+        def sks_of(cx, cy, cz, r=None):
+            return _cks_to_sks_c(cx, cy, cz, spin, r)
 
         def off_grid_of(r, th, ph):
             return ((r < r_lo) | (r > r_hi) | (th < th_lo) | (th > th_hi)
                     | (ph < ph_lo) | (ph > ph_hi))
 
         def sample_update(s, out_tr, valid, mx0, mx1, mx2, mx3,
-                          mk0, mk1, mk2, mk3, h, scratch, origins):
+                          mk0, mk1, mk2, mk3, h, scratch, origins,
+                          r_mid=None):
             """Global locate, per-group angular-line corner gathers,
             thermal coefficients, RT.
 
@@ -644,7 +665,18 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             sk1 = jnp.where(valid, mk1, 1.0)
             sk2 = jnp.where(valid, mk2, 0.0)
             sk3 = jnp.where(valid, mk3, 0.0)
-            r, th, ph = sks_of(sx1, sx2, sx3)
+            if "sks" in ablate:  # timing ablation only - wrong values
+                r = jnp.abs(sx1) + 2.0
+                th = jnp.abs(sx2) * 0.01 + 1.5
+                ph = jnp.abs(sx3) * 0.01 + 3.0
+            else:
+                # The step body already computed the midpoint radius
+                # (bitwise the same _radius_c chain the conversion would
+                # run); parked samples sit at the camera, whose radius is
+                # a host constant.
+                r_pre = None if r_mid is None \
+                    else jnp.where(valid, r_mid, r_cam)
+                r, th, ph = sks_of(sx1, sx2, sx3, r_pre)
             off_grid = off_grid_of(r, th, ph)
             use = valid & ~off_grid
 
@@ -699,12 +731,22 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             w_j0 = 1.0 - f_j
             w_k1 = f_k
             w_k0 = 1.0 - f_k
-            # (dk, dj) corner weights for di = 0 / 1
-            # (grid/sampling._CORNER_ORDER trilinear terms)
-            cw0 = {(0, 0): w_k0 * w_j0 * w_i0, (0, 1): w_k0 * w_j1 * w_i0,
-                   (1, 0): w_k1 * w_j0 * w_i0, (1, 1): w_k1 * w_j1 * w_i0}
-            cw1 = {(0, 0): w_k0 * w_j0 * w_i1, (0, 1): w_k0 * w_j1 * w_i1,
-                   (1, 0): w_k1 * w_j0 * w_i1, (1, 1): w_k1 * w_j1 * w_i1}
+            if "weights" in ablate:  # timing ablation only - wrong values
+                cw0 = {key: w_i0 for key in
+                       ((0, 0), (0, 1), (1, 0), (1, 1))}
+                cw1 = {key: w_i1 for key in
+                       ((0, 0), (0, 1), (1, 0), (1, 1))}
+            else:
+                # (dk, dj) corner weights for di = 0 / 1
+                # (grid/sampling._CORNER_ORDER trilinear terms)
+                cw0 = {(0, 0): w_k0 * w_j0 * w_i0,
+                       (0, 1): w_k0 * w_j1 * w_i0,
+                       (1, 0): w_k1 * w_j0 * w_i0,
+                       (1, 1): w_k1 * w_j1 * w_i0}
+                cw1 = {(0, 0): w_k0 * w_j0 * w_i1,
+                       (0, 1): w_k0 * w_j1 * w_i1,
+                       (1, 0): w_k1 * w_j0 * w_i1,
+                       (1, 1): w_k1 * w_j1 * w_i1}
 
             named = {}
             if "gather" in ablate:  # timing ablation only - wrong values
@@ -781,7 +823,10 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                 else jnp.zeros(shape, bool)
 
             # coefficients (pipeline_simulation.make_simulation_coeff_fns)
-            keep_geo = _geometric_keep_c(sx1, sx2, sx3, r, th, sp, cam)
+            if "keep" in ablate:  # timing ablation only - wrong values
+                keep_geo = valid
+            else:
+                keep_geo = _geometric_keep_c(sx1, sx2, sx3, r, th, sp, cam)
             if "fluid" in ablate:  # timing ablation only - wrong values
                 one = named["rho"] + 1.0
                 st = dict(n_e=one, bb_cgs=one, sigma=one, beta_inv=one,
@@ -819,22 +864,27 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                 alpha = jnp.where(cbad, 0.0, alpha)
                 bad_acc = bad_acc | (valid & cbad).astype(jnp.int32)
 
+                if "rt" in ablate:  # timing ablation only - wrong values
+                    out_tr[f"I{f_i_}"] = s[f"I{f_i_}"] + j
+                    out_tr[f"A{f_i_}"] = s[f"A{f_i_}"] + alpha
+                    continue
                 dl_cgs = jnp.where(valid, -h, 0.0) * (x_unit / nu) / mom
                 pos_alpha = alpha > 0.0
                 ss = j / jnp.where(pos_alpha, alpha, 1.0)
                 delta_tau = alpha * dl_cgs
-                atten = jnp.exp(-s[f"tau{f_i_}"])
+                atten = s[f"A{f_i_}"]
                 thin = delta_tau <= DELTA_TAU_MAX
                 em = -_expm1(-delta_tau)
                 contrib = jnp.where(
                     pos_alpha, jnp.where(thin, ss * em, ss), j * dl_cgs)
                 out_tr[f"I{f_i_}"] = s[f"I{f_i_}"] \
                     + jnp.where(valid, contrib * atten, 0.0)
-                dtau_eff = jnp.where(pos_alpha,
-                                     jnp.where(thin, delta_tau, jnp.inf),
-                                     0.0)
-                out_tr[f"tau{f_i_}"] = s[f"tau{f_i_}"] \
-                    + jnp.where(valid, dtau_eff, 0.0)
+                # exp(-delta_tau) = 1 - em (already computed); optically
+                # thick steps zero the attenuation permanently (the
+                # reference's dtau = inf saturation, unpolarized.cpp:98-110)
+                att_fac = jnp.where(valid & pos_alpha,
+                                    jnp.where(thin, 1.0 - em, 0.0), 1.0)
+                out_tr[f"A{f_i_}"] = atten * att_fac
             return bad_acc, ovf_acc
 
         def rk_step(s, n_abs, origins):
@@ -846,7 +896,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             s_alive = (s["alive"] > 0) & live
             s_trunc = s["trunc"] > 0
             s_flag = s["flag"] > 0
-            r = _radius_c(x1, x2, x3, spin)
+            r = s["r"]
             h = jnp.where(s_alive,
                           -params.ray_step * (r - params.r_horizon), 0.0)
 
@@ -857,12 +907,18 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
 
             k1 = rhs(x0, x1, x2, x3, p0, p1, p2, p3)
             if integrator == "rk4":
-                y2 = at(comps, k1, 0.5)
-                k2 = rhs(y2[0], y2[1], y2[2], y2[3], p0, y2[4], y2[5], y2[6])
-                y3 = at(comps, k2, 0.5)
-                k3 = rhs(y3[0], y3[1], y3[2], y3[3], p0, y3[4], y3[5], y3[6])
-                y4 = at(comps, k3, 1.0)
-                k4 = rhs(y4[0], y4[1], y4[2], y4[3], p0, y4[4], y4[5], y4[6])
+                if "rhs1" in ablate:  # timing ablation - wrong values
+                    k2 = k3 = k4 = k1
+                else:
+                    y2 = at(comps, k1, 0.5)
+                    k2 = rhs(y2[0], y2[1], y2[2], y2[3], p0,
+                             y2[4], y2[5], y2[6])
+                    y3 = at(comps, k2, 0.5)
+                    k3 = rhs(y3[0], y3[1], y3[2], y3[3], p0,
+                             y3[4], y3[5], y3[6])
+                    y4 = at(comps, k3, 1.0)
+                    k4 = rhs(y4[0], y4[1], y4[2], y4[3], p0,
+                             y4[4], y4[5], y4[6])
                 y_end = [comps[ci] + h * (k1[ci] / 6.0 + k2[ci] / 3.0
                                           + k3[ci] / 3.0 + k4[ci] / 6.0)
                          for ci in range(7)]
@@ -874,16 +930,23 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                          for ci in range(7)]
                 y_mid = at(comps, k1, 0.5)
 
-            fac = renormalize_factor_c(y_end[1], y_end[2], y_end[3], p0,
-                                       y_end[4], y_end[5], y_end[6],
-                                       spin, mass, flat=flat)
-            e1, e2, e3 = y_end[4] * fac, y_end[5] * fac, y_end[6] * fac
+            if "renorm" in ablate:  # timing ablation only - wrong values
+                e1, e2, e3 = y_end[4], y_end[5], y_end[6]
+            else:
+                fac = renormalize_factor_c(y_end[1], y_end[2], y_end[3], p0,
+                                           y_end[4], y_end[5], y_end[6],
+                                           spin, mass, flat=flat)
+                e1, e2, e3 = y_end[4] * fac, y_end[5] * fac, y_end[6] * fac
             r_new = _radius_c(y_end[1], y_end[2], y_end[3], spin)
-            facm = renormalize_factor_c(y_mid[1], y_mid[2], y_mid[3], p0,
-                                        y_mid[4], y_mid[5], y_mid[6],
-                                        spin, mass, flat=flat)
-            m1, m2, m3 = y_mid[4] * facm, y_mid[5] * facm, y_mid[6] * facm
-            r_mid = _radius_c(y_mid[1], y_mid[2], y_mid[3], spin)
+            if "mid" in ablate:  # timing ablation only - wrong values
+                m1, m2, m3 = e1, e2, e3
+                r_mid = r_new
+            else:
+                facm = renormalize_factor_c(y_mid[1], y_mid[2], y_mid[3], p0,
+                                            y_mid[4], y_mid[5], y_mid[6],
+                                            spin, mass, flat=flat)
+                m1, m2, m3 = y_mid[4] * facm, y_mid[5] * facm, y_mid[6] * facm
+                r_mid = _radius_c(y_mid[1], y_mid[2], y_mid[3], spin)
 
             have_prev = s["n_samp"] > 0
             trunc_now = have_prev & (
@@ -901,7 +964,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             out_tr = {}
             bad_acc, ovf_acc = sample_update(
                 s, out_tr, valid, y_mid[0], y_mid[1], y_mid[2], y_mid[3],
-                p0, m1, m2, m3, h, brick_scr, origins)
+                p0, m1, m2, m3, h, brick_scr, origins, r_mid=r_mid)
 
             park = ~alive
             upd = s_alive
@@ -915,6 +978,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                 x2=sel(0.0, y_end[2], x2), x3=sel(0.0, y_end[3], x3),
                 p1=sel(1.0, e1, p1), p2=sel(0.0, e2, p2),
                 p3=sel(0.0, e3, p3),
+                r=sel(1.0e3, r_new, r),
                 alive=alive.astype(jnp.int32),
                 trunc=((live & trunc)
                        | (jnp.logical_not(live) & s_trunc))
@@ -939,7 +1003,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             s_trunc = s["trunc"] > 0
             s_flag = s["flag"] > 0
             s_prev_fail = s["prev_fail"] > 0
-            r = _radius_c(x1, x2, x3, spin)
+            r = s["r"]
 
             def rhs_d(a0, a1, a2, a3, b0, b1, b2, b3):
                 return geodesic_rhs_c(a1, a2, a3, b0, b1, b2, b3, spin,
@@ -1030,7 +1094,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             out_tr = {}
             bad_acc, ovf_acc = sample_update(
                 s, out_tr, valid, y4m[0], y4m[1], y4m[2], y4m[3],
-                p0, m1, m2, m3, h, brick_scr, origins)
+                p0, m1, m2, m3, h, brick_scr, origins, r_mid=r_mid)
 
             park = ~alive
             step_taken = s_alive & accept
@@ -1044,6 +1108,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                 x2=sel(0.0, y5[2], x2), x3=sel(0.0, y5[3], x3),
                 p1=sel(1.0, e1, p1), p2=sel(0.0, e2, p2),
                 p3=sel(0.0, e3, p3),
+                r=sel(1.0e3, r_new, r),
                 h=jnp.where(s_alive, h_next, s["h"]),
                 num_retry=jnp.where(s_alive, num_retry, s["num_retry"]),
                 prev_fail=((s_alive & ~accept)
@@ -1067,7 +1132,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             if "window" in ablate:  # timing ablation only - wrong values
                 zero_v = jnp.zeros((rows, LANES), jnp.int32)
                 return (zero_v, zero_v)
-            r, th, ph = sks_of(s["x1"], s["x2"], s["x3"])
+            r, th, ph = sks_of(s["x1"], s["x2"], s["x3"], s["r"])
             # Live, not-yet-overflowed, ON-GRID rays vote on the origin:
             # off-grid rays' clamped anchors sit at the boundary (a ray
             # skimming the polar cutout clamps to j = 0) and would drag
@@ -1141,10 +1206,19 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
 
             step_fn = dp_step if integrator == "dp" else rk_step
 
-            def inner(t, st):
-                return step_fn(st, base + t, origins)
+            if unroll:
+                # Unroll the window: Mosaic's loop-carry handling costs
+                # ~10x the step's actual arithmetic (round-5 ablation:
+                # the fully-ablated skeleton ran 26.7 of the full 55.3
+                # ms/block), so carries should only cross the outer
+                # while_loop boundary, once per window.
+                for t in range(window):
+                    s = step_fn(s, base + t, origins)
+            else:
+                def inner(t, st):
+                    return step_fn(st, base + t, origins)
 
-            s = jax.lax.fori_loop(0, window, inner, s)
+                s = jax.lax.fori_loop(0, window, inner, s)
             s = dict(s)
             s["w"] = s["w"] + 1
             return s
@@ -1168,7 +1242,8 @@ def render_simulation(positions, directions, momentum_factors, frequencies,
                       kg: KernelGrid, mass_msun: float, camera_x,
                       log_j_scale: float, integrator: str = "rk4",
                       window: int = WINDOW, brick=BRICK, margin=MARGIN,
-                      interpret: bool = False, ablate=(), rows=ROWS):
+                      interpret: bool = False, ablate=(), rows=ROWS,
+                      unroll: bool = True):
     """Fused Pallas render of a ray bundle against a prepared grid.
 
     Returns (I_nu (B, F) - or (B,) for scalar frequency -, flags (B,) bool,
@@ -1209,7 +1284,7 @@ def render_simulation(positions, directions, momentum_factors, frequencies,
                           np.asarray(camera_x, np.float64), log_j_scale,
                           integrator=integrator, window=window,
                           brick=brick, margin=margin, interpret=interpret,
-                          ablate=ablate, rows=rows)
+                          ablate=ablate, rows=rows, unroll=unroll)
 
     nf = len(nus)
     bk, bj = brick

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--tile-row", type=int, default=256)
     ap.add_argument("--tile-col", type=int, default=640)
+    ap.add_argument("--no-unroll", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="only the full and fully-ablated variants")
     args = ap.parse_args()
 
     n_r, n_th, n_ph = (int(s) for s in args.grid.split(","))
@@ -93,12 +96,22 @@ def main():
     if args.rows:
         kwargs["rows"] = args.rows
 
-    for ab in ([], ["window"], ["gather"], ["fluid"], ["coeff"], ["locate"],
-               ["gather", "coeff", "locate", "window", "fluid"]):
+    base = ["gather", "coeff", "locate", "window", "fluid"]
+    if args.quick:
+        groups = ([], base)
+    else:
+        groups = ([], ["window"], ["gather"], ["fluid"], ["coeff"],
+                  ["locate"], base,
+                  # fine ablations of the base itself (round 5)
+                  base + ["sks"], base + ["rt"], base + ["keep"],
+                  base + ["weights"], base + ["mid"], base + ["renorm"],
+                  base + ["rhs1"],
+                  base + ["sks", "rt", "keep", "weights", "mid", "renorm"])
+    for ab in groups:
         fn = jax.jit(lambda p, d, m, k, ab=tuple(ab): psim.render_simulation(
             p, d, m, np.asarray(freqs), params, sp, k, mass_msun,
             np.asarray(geom.cam_x), synchrotron.log_j_scale(nu0),
-            ablate=ab, **kwargs))
+            ablate=ab, unroll=not args.no_unroll, **kwargs))
         out = fn(P, D, M, kg)
         jax.block_until_ready(out[0])
         t0 = time.perf_counter()
