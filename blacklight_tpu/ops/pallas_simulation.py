@@ -249,6 +249,229 @@ def _cks_to_sks_c(x, y, z, spin, r=None):
 
 
 # ---------------------------------------------------------------------------
+# Shared in-kernel sampling machinery (used by this kernel and the polarized
+# kernel, ops/pallas_polarized.py)
+
+
+def _locate_axis(x, face_ref, center_ref, n_ax, shape):
+    """grid/sampling._locate against the full face/center columns via
+    dynamic-sublane scalar reads (measured ~0.2 us per axis per
+    1024-ray step on v5e even at 129 faces).
+
+    Returns (i, i_m, f) exactly like the XLA _locate.
+    """
+    idx = jnp.zeros(shape, jnp.int32)
+    for t in range(n_ax + 1):
+        idx += (face_ref[t, 0] < x).astype(jnp.int32)
+    i = jnp.clip(idx - 1, 0, n_ax - 1)
+    xv_im1 = jnp.zeros(shape, jnp.float32)
+    xv_i = jnp.zeros(shape, jnp.float32)
+    xv_ip1 = jnp.zeros(shape, jnp.float32)
+    for t in range(n_ax):
+        v = center_ref[t, 0]
+        xv_im1 = jnp.where(i == t + 1, v, xv_im1)
+        xv_i = jnp.where(i == t, v, xv_i)
+        xv_ip1 = jnp.where(i == t - 1, v, xv_ip1)
+    use_i = (i == 0) | ((i != n_ax - 1) & (x >= xv_i))
+    i_m = jnp.where(use_i, i, i - 1)
+    lo = jnp.where(use_i, xv_i, xv_im1)
+    hi = jnp.where(use_i, xv_ip1, xv_i)
+    f = (x - lo) / (hi - lo)
+    return i, i_m, f
+
+
+def _chunk_gather(tab_line, idx, n_chunks):
+    """Radial lane gather on a (rows, n_chunks*128) line: Mosaic's dynamic
+    gather needs idx.shape == table.shape, so multi-chunk tables gather per
+    128-lane chunk with a select-mask accumulate."""
+    if n_chunks == 1:
+        return jnp.take_along_axis(tab_line, idx, axis=1)
+    acc = None
+    for c in range(n_chunks):
+        part = tab_line[:, 128 * c:128 * (c + 1)]
+        idx_c = jnp.clip(idx - 128 * c, 0, 127)
+        got = jnp.take_along_axis(part, idx_c, axis=1)
+        sel = ((idx >> 7) == c).astype(jnp.float32)
+        acc = got * sel if acc is None else acc + got * sel
+    return acc
+
+
+def _gather_corners(scratch, acc_scr, names, var_of, nvar, bk, bj, n_chunks,
+                    rows, use, oob, rel_k, rel_j, i_lo, i_hi, cw0, cw1,
+                    shape):
+    """Per-line predicated corner gathers -> named primitive dict.
+
+    Folds the trilinear corner weights into one (W_lo, W_hi) pair per
+    angular line t - each ray has nonzero weight on at most 4 lines - and
+    accumulates W_lo * gather(line, i_m) + W_hi * gather(line, i_m + 1)
+    into VMEM accumulators. The brick is mostly margin: the block's live
+    anchors span a small rel-box, so lines outside it are skipped entirely
+    by a scalar pl.when (unpredicated, the gather stage is more than half
+    of the kernel's step time). Includes the rho/pgas positivity repair
+    (anchor-corner substitution, grid/sampling.py sample_grid).
+    """
+    big_i = jnp.asarray(10 ** 6, jnp.int32)
+    boxed = use & ~oob
+    kb_lo = jnp.min(jnp.where(boxed, rel_k, big_i))
+    kb_hi = jnp.max(jnp.where(boxed, rel_k, -big_i))
+    jb_lo = jnp.min(jnp.where(boxed, rel_j, big_i))
+    jb_hi = jnp.max(jnp.where(boxed, rel_j, -big_i))
+    acc_scr[...] = jnp.zeros((nvar + 2, rows, LANES), jnp.float32)
+    rho_v = var_of["rho"]
+    pgas_v = var_of["pgas"]
+    for tk in range(bk):
+        for tj in range(bj):
+            shifts = [(dk, dj)
+                      for dk in (0, 1) for dj in (0, 1)
+                      if 0 <= tk - dk <= bk - 2
+                      and 0 <= tj - dj <= bj - 2]
+            if not shifts:
+                continue
+
+            @pl.when((tk >= kb_lo) & (tk <= kb_hi + 1)
+                     & (tj >= jb_lo) & (tj <= jb_hi + 1))
+            def _(tk=tk, tj=tj, shifts=shifts):
+                w_lo = None
+                w_hi = None
+                m_anchor = None
+                for dk, dj in shifts:
+                    m = ((rel_k == tk - dk)
+                         & (rel_j == tj - dj)) \
+                        .astype(jnp.float32)
+                    if dk == 0 and dj == 0:
+                        m_anchor = m
+                    t_lo = cw0[(dk, dj)] * m
+                    t_hi = cw1[(dk, dj)] * m
+                    w_lo = t_lo if w_lo is None else w_lo + t_lo
+                    w_hi = t_hi if w_hi is None else w_hi + t_hi
+                for vi, nm in enumerate(names):
+                    line = scratch[:, var_of[nm], tk, tj, :]
+                    glo = _chunk_gather(line, i_lo, n_chunks)
+                    ghi = _chunk_gather(line, i_hi, n_chunks)
+                    acc_scr[vi] += w_lo * glo + w_hi * ghi
+                    if m_anchor is not None:
+                        if var_of[nm] == rho_v:
+                            acc_scr[nvar] += m_anchor * glo
+                        elif var_of[nm] == pgas_v:
+                            acc_scr[nvar + 1] += m_anchor * glo
+    named = {}
+    for vi, nm in enumerate(names):
+        acc = acc_scr[vi]
+        if nm == "rho":
+            acc = jnp.where(acc <= 0.0, acc_scr[nvar], acc)
+        elif nm == "pgas":
+            acc = jnp.where(acc <= 0.0, acc_scr[nvar + 1], acc)
+        named[nm] = acc
+    return named
+
+
+def _window_setup_impl(x1, x2, x3, r, candid, spin, x2f_r, x2v_r, x3f_r,
+                       x3v_r, n_j, n_k, bk, bj, mk, mj, rows, shape,
+                       off_grid_of, tab_hbm, brick_scr, sem, interpret):
+    """Angular anchor vote per sublane group + one angular-line slab DMA
+    per group (full radial axis as lanes). Returns (k0v, j0v) per-group
+    origin broadcasts.
+
+    Live, not-yet-overflowed, ON-GRID rays vote on the origin: off-grid
+    rays' clamped anchors sit at the boundary (a ray skimming the polar
+    cutout clamps to j = 0) and would drag the brick away from the
+    sampling majority. Only when NO ray in a group is on-grid (the
+    approach phase of a camera outside the snapshot) do the clamped
+    anchors vote, parking the brick at the entry face. Off-grid samples
+    never flag overflow.
+    """
+    r_v, th, ph = _cks_to_sks_c(x1, x2, x3, spin, r)
+    on = candid & ~off_grid_of(r_v, th, ph)
+    _, im_j, _ = _locate_axis(th, x2f_r, x2v_r, n_j, shape)
+    _, km, _ = _locate_axis(ph, x3f_r, x3v_r, n_k, shape)
+    im_j = jnp.clip(im_j, 0, n_j - 2)
+    km = jnp.clip(km, 0, n_k - 2)
+
+    big = jnp.asarray(10 ** 6, jnp.int32)
+    shift = n_k // 2
+    km_s = km - jnp.where(km >= shift, shift, shift - n_k)
+    j0s = []
+    k0s = []
+    for g in range(rows):
+        on_g = on[g]
+        # where() on i1 vectors does not lower in Mosaic; since
+        # on_g is a subset of candid[g], the select is a logical
+        # blend.
+        use_g = on_g | (candid[g] & jnp.logical_not(jnp.any(on_g)))
+        any_g = jnp.any(use_g)
+        j_min = jnp.min(jnp.where(use_g, im_j[g], big))
+        j0 = jnp.clip(j_min - mj, 0, max(n_j - bj, 0))
+        # phi frame: direct span vs half-turn-shifted span
+        k_min = jnp.min(jnp.where(use_g, km[g], big))
+        k_max = jnp.max(jnp.where(use_g, km[g], -big))
+        ks_min = jnp.min(jnp.where(use_g, km_s[g], big))
+        ks_max = jnp.max(jnp.where(use_g, km_s[g], -big))
+        use_shift = (k_max - k_min) > (ks_max - ks_min)
+        k0_raw = jnp.where(use_shift, ks_min + shift, k_min) - mk
+        k0 = jnp.where(k0_raw < 0, k0_raw + n_k, k0_raw)
+        k0 = jnp.clip(k0, 0, n_k - 1)
+        j0s.append(jnp.where(any_g, j0, 0))
+        k0s.append(jnp.where(any_g, k0, 0))
+
+    if interpret:
+        for g in range(rows):
+            brick_scr[g, ...] = tab_hbm[:, pl.ds(k0s[g], bk),
+                                        pl.ds(j0s[g], bj), :]
+    else:
+        copies = [
+            pltpu.make_async_copy(
+                tab_hbm.at[:, pl.ds(k0s[g], bk),
+                           pl.ds(j0s[g], bj), :],
+                brick_scr.at[g], sem.at[g])
+            for g in range(rows)]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+    k0v = jnp.concatenate(
+        [jnp.full((1, LANES), k0s[g], jnp.int32)
+         for g in range(rows)])
+    j0v = jnp.concatenate(
+        [jnp.full((1, LANES), j0s[g], jnp.int32)
+         for g in range(rows)])
+    return (k0v, j0v)
+
+
+def spatial_order(positions, block=1024):
+    """Group rays into coherent ~sqrt(block) x sqrt(block) camera-plane
+    tiles (kernel blocks) by their camera-plane coordinates, with a finer
+    sub-key so each 128-ray sublane group is a compact patch.
+
+    The kernel's brick-overflow rate depends directly on this coherence;
+    the caller's ray order (raster, adaptive blocks, ...) is otherwise
+    arbitrary. (A leading image-radius key - grouping tiles of similar ray
+    lifetime to cut the ragged-exit tax - measured SLOWER on v5e:
+    same-radius tiles from different quadrants widen the block's active
+    anchor box and the predicated gather stage pays for it.)
+
+    Returns a permutation of range(len(positions)).
+    """
+    q = np.asarray(positions)[:, 1:4]
+    q = q - q.mean(axis=0)
+    _, vecs = np.linalg.eigh(q.T @ q)
+    u = q @ vecs[:, -1]
+    v = q @ vecs[:, -2]
+    b = len(u)
+    g = max(1, int(np.ceil(np.sqrt(b / float(block)))))
+
+    def quant(x, levels):
+        span = np.ptp(x)
+        if span <= 0.0:
+            return np.zeros(len(x), np.int64)
+        return np.clip(((x - x.min()) / span * levels)
+                       .astype(np.int64), 0, levels - 1)
+
+    ub, vb = quant(u, g), quant(v, g)
+    uf, vf = quant(u, 8 * g), quant(v, 4 * g)
+    return np.lexsort((vf, uf, vb, ub))
+
+
+# ---------------------------------------------------------------------------
 # Static parameter bundles
 
 
@@ -573,30 +796,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                               flat=flat, with_distance=False)
 
     def locate_axis(x, face_ref, center_ref, n_ax):
-        """grid/sampling._locate against the full face/center columns via
-        dynamic-sublane scalar reads (measured ~0.2 us per axis per
-        1024-ray step on v5e even at 129 faces).
-
-        Returns (i, i_m, f) exactly like the XLA _locate.
-        """
-        idx = jnp.zeros(shape, jnp.int32)
-        for t in range(n_ax + 1):
-            idx += (face_ref[t, 0] < x).astype(jnp.int32)
-        i = jnp.clip(idx - 1, 0, n_ax - 1)
-        xv_im1 = jnp.zeros(shape, jnp.float32)
-        xv_i = jnp.zeros(shape, jnp.float32)
-        xv_ip1 = jnp.zeros(shape, jnp.float32)
-        for t in range(n_ax):
-            v = center_ref[t, 0]
-            xv_im1 = jnp.where(i == t + 1, v, xv_im1)
-            xv_i = jnp.where(i == t, v, xv_i)
-            xv_ip1 = jnp.where(i == t - 1, v, xv_ip1)
-        use_i = (i == 0) | ((i != n_ax - 1) & (x >= xv_i))
-        i_m = jnp.where(use_i, i, i - 1)
-        lo = jnp.where(use_i, xv_i, xv_im1)
-        hi = jnp.where(use_i, xv_ip1, xv_i)
-        f = (x - lo) / (hi - lo)
-        return i, i_m, f
+        return _locate_axis(x, face_ref, center_ref, n_ax, shape)
 
     def kernel(x0r, x1r, x2r, x3r, p0r, p1r, p2r, p3r, momr,
                x1f_r, x1v_r, x2f_r, x2v_r, x3f_r, x3v_r, tab_hbm,
@@ -713,18 +913,6 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             i_lo = im_i
             i_hi = im_i + 1
 
-            def chunk_gather(tab_line, idx):
-                if n_chunks == 1:
-                    return jnp.take_along_axis(tab_line, idx, axis=1)
-                acc = None
-                for c in range(n_chunks):
-                    part = tab_line[:, 128 * c:128 * (c + 1)]
-                    idx_c = jnp.clip(idx - 128 * c, 0, 127)
-                    got = jnp.take_along_axis(part, idx_c, axis=1)
-                    sel = ((idx >> 7) == c).astype(jnp.float32)
-                    acc = got * sel if acc is None else acc + got * sel
-                return acc
-
             w_i1 = f_i
             w_i0 = 1.0 - f_i
             w_j1 = f_j
@@ -748,72 +936,13 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                        (1, 0): w_k1 * w_j0 * w_i1,
                        (1, 1): w_k1 * w_j1 * w_i1}
 
-            named = {}
             if "gather" in ablate:  # timing ablation only - wrong values
-                for nm in names:
-                    named[nm] = f_i + 0.1
+                named = {nm: f_i + 0.1 for nm in names}
             else:
-                # Per-line accumulation with SCALAR predication: fold the
-                # trilinear corner weights into one (W_lo, W_hi) pair per
-                # angular line t - each ray has nonzero weight on at most
-                # 4 lines - and accumulate W_lo * gather(line, i_m) +
-                # W_hi * gather(line, i_m + 1) into VMEM accumulators. The
-                # brick is mostly margin: the block's live anchors span a
-                # small rel-box, so lines outside it are skipped entirely
-                # by a scalar pl.when (unpredicated, the gather stage is
-                # more than half of the kernel's step time).
-                big_i = jnp.asarray(10 ** 6, jnp.int32)
-                boxed = use & ~oob
-                kb_lo = jnp.min(jnp.where(boxed, rel_k, big_i))
-                kb_hi = jnp.max(jnp.where(boxed, rel_k, -big_i))
-                jb_lo = jnp.min(jnp.where(boxed, rel_j, big_i))
-                jb_hi = jnp.max(jnp.where(boxed, rel_j, -big_i))
-                acc_scr[...] = jnp.zeros((nvar + 2, rows, LANES),
-                                         jnp.float32)
-                rho_v = var_of["rho"]
-                pgas_v = var_of["pgas"]
-                for tk in range(bk):
-                    for tj in range(bj):
-                        shifts = [(dk, dj)
-                                  for dk in (0, 1) for dj in (0, 1)
-                                  if 0 <= tk - dk <= bk - 2
-                                  and 0 <= tj - dj <= bj - 2]
-                        if not shifts:
-                            continue
-
-                        @pl.when((tk >= kb_lo) & (tk <= kb_hi + 1)
-                                 & (tj >= jb_lo) & (tj <= jb_hi + 1))
-                        def _(tk=tk, tj=tj, shifts=shifts):
-                            w_lo = None
-                            w_hi = None
-                            m_anchor = None
-                            for dk, dj in shifts:
-                                m = ((rel_k == tk - dk)
-                                     & (rel_j == tj - dj)) \
-                                    .astype(jnp.float32)
-                                if dk == 0 and dj == 0:
-                                    m_anchor = m
-                                t_lo = cw0[(dk, dj)] * m
-                                t_hi = cw1[(dk, dj)] * m
-                                w_lo = t_lo if w_lo is None else w_lo + t_lo
-                                w_hi = t_hi if w_hi is None else w_hi + t_hi
-                            for vi, nm in enumerate(names):
-                                line = scratch[:, var_of[nm], tk, tj, :]
-                                glo = chunk_gather(line, i_lo)
-                                ghi = chunk_gather(line, i_hi)
-                                acc_scr[vi] += w_lo * glo + w_hi * ghi
-                                if m_anchor is not None:
-                                    if var_of[nm] == rho_v:
-                                        acc_scr[nvar] += m_anchor * glo
-                                    elif var_of[nm] == pgas_v:
-                                        acc_scr[nvar + 1] += m_anchor * glo
-                for vi, nm in enumerate(names):
-                    acc = acc_scr[vi]
-                    if nm == "rho":
-                        acc = jnp.where(acc <= 0.0, acc_scr[nvar], acc)
-                    elif nm == "pgas":
-                        acc = jnp.where(acc <= 0.0, acc_scr[nvar + 1], acc)
-                    named[nm] = acc
+                named = _gather_corners(
+                    scratch, acc_scr, names, var_of, nvar, bk, bj, n_chunks,
+                    rows, use, oob, rel_k, rel_j, i_lo, i_hi, cw0, cw1,
+                    shape)
             fb = {"rho": sp.fallback_rho, "pgas": sp.fallback_pgas,
                   "uu1": 0.0, "uu2": 0.0, "uu3": 0.0,
                   "bb1": 0.0, "bb2": 0.0, "bb3": 0.0}
@@ -1132,70 +1261,12 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
             if "window" in ablate:  # timing ablation only - wrong values
                 zero_v = jnp.zeros((rows, LANES), jnp.int32)
                 return (zero_v, zero_v)
-            r, th, ph = sks_of(s["x1"], s["x2"], s["x3"], s["r"])
-            # Live, not-yet-overflowed, ON-GRID rays vote on the origin:
-            # off-grid rays' clamped anchors sit at the boundary (a ray
-            # skimming the polar cutout clamps to j = 0) and would drag
-            # the brick away from the sampling majority. Only when NO ray
-            # in a group is on-grid (the approach phase of a camera
-            # outside the snapshot) do the clamped anchors vote, parking
-            # the brick at the entry face. Off-grid samples never flag
-            # overflow.
             candid = (s["alive"] > 0) & (s["ovf"] == 0)
-            on = candid & ~off_grid_of(r, th, ph)
-            _, im_j, _ = locate_axis(th, x2f_r, x2v_r, n_j)
-            _, km, _ = locate_axis(ph, x3f_r, x3v_r, n_k)
-            im_j = jnp.clip(im_j, 0, n_j - 2)
-            km = jnp.clip(km, 0, n_k - 2)
-
-            big = jnp.asarray(10 ** 6, jnp.int32)
-            shift = n_k // 2
-            km_s = km - jnp.where(km >= shift, shift, shift - n_k)
-            j0s = []
-            k0s = []
-            for g in range(rows):
-                on_g = on[g]
-                # where() on i1 vectors does not lower in Mosaic; since
-                # on_g is a subset of candid[g], the select is a logical
-                # blend.
-                use_g = on_g | (candid[g] & jnp.logical_not(jnp.any(on_g)))
-                any_g = jnp.any(use_g)
-                j_min = jnp.min(jnp.where(use_g, im_j[g], big))
-                j0 = jnp.clip(j_min - mj, 0, max(n_j - bj, 0))
-                # phi frame: direct span vs half-turn-shifted span
-                k_min = jnp.min(jnp.where(use_g, km[g], big))
-                k_max = jnp.max(jnp.where(use_g, km[g], -big))
-                ks_min = jnp.min(jnp.where(use_g, km_s[g], big))
-                ks_max = jnp.max(jnp.where(use_g, km_s[g], -big))
-                use_shift = (k_max - k_min) > (ks_max - ks_min)
-                k0_raw = jnp.where(use_shift, ks_min + shift, k_min) - mk
-                k0 = jnp.where(k0_raw < 0, k0_raw + n_k, k0_raw)
-                k0 = jnp.clip(k0, 0, n_k - 1)
-                j0s.append(jnp.where(any_g, j0, 0))
-                k0s.append(jnp.where(any_g, k0, 0))
-
-            if interpret:
-                for g in range(rows):
-                    brick_scr[g, ...] = tab_hbm[:, pl.ds(k0s[g], bk),
-                                                pl.ds(j0s[g], bj), :]
-            else:
-                copies = [
-                    pltpu.make_async_copy(
-                        tab_hbm.at[:, pl.ds(k0s[g], bk),
-                                   pl.ds(j0s[g], bj), :],
-                        brick_scr.at[g], sem.at[g])
-                    for g in range(rows)]
-                for c in copies:
-                    c.start()
-                for c in copies:
-                    c.wait()
-            k0v = jnp.concatenate(
-                [jnp.full((1, LANES), k0s[g], jnp.int32)
-                 for g in range(rows)])
-            j0v = jnp.concatenate(
-                [jnp.full((1, LANES), j0s[g], jnp.int32)
-                 for g in range(rows)])
-            return (k0v, j0v)
+            return _window_setup_impl(
+                s["x1"], s["x2"], s["x3"], s["r"], candid, spin,
+                x2f_r, x2v_r, x3f_r, x3v_r, n_j, n_k, bk, bj, mk, mj,
+                rows, shape, off_grid_of, tab_hbm, brick_scr, sem,
+                interpret)
 
         def cond(s):
             return (s["w"] < n_windows) & jnp.any(s["alive"] > 0)

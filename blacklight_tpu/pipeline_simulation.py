@@ -373,38 +373,8 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                 _synchro.log_j_scale(nu0_k), integrator=integ_name,
                 window=kernel_window))
 
-            def _spatial_order(positions):
-                """Group rays into ~32x32-pixel tiles (1024-ray kernel
-                blocks) by their camera-plane coordinates, with a finer
-                sub-key so each 128-ray sublane group is a compact patch.
-                The kernel's brick-overflow rate depends directly on this
-                coherence; the caller's ray order (raster, adaptive
-                blocks, ...) is otherwise arbitrary. (A leading
-                image-radius key - grouping tiles of similar ray lifetime
-                to cut the ragged-exit tax - measured SLOWER: same-radius
-                tiles from different quadrants widen the block's active
-                anchor box and the predicated gather stage pays for it.)"""
-                q = np.asarray(positions)[:, 1:4]
-                q = q - q.mean(axis=0)
-                _, vecs = np.linalg.eigh(q.T @ q)
-                u = q @ vecs[:, -1]
-                v = q @ vecs[:, -2]
-                b = len(u)
-                g = max(1, int(np.ceil(np.sqrt(b / 1024.0))))
-
-                def quant(x, levels):
-                    span = np.ptp(x)
-                    if span <= 0.0:
-                        return np.zeros(len(x), np.int64)
-                    return np.clip(((x - x.min()) / span * levels)
-                                   .astype(np.int64), 0, levels - 1)
-
-                ub, vb = quant(u, g), quant(v, g)
-                uf, vf = quant(u, 8 * g), quant(v, 4 * g)
-                return np.lexsort((vf, uf, vb, ub))
-
             def kernel_render(positions, directions, momentum_factors):
-                order = _spatial_order(positions)
+                order = psim.spatial_order(positions)
                 inv = np.empty_like(order)
                 inv[order] = np.arange(len(order))
                 i_img, flags, nsamp, ovf = kernel_jit(
@@ -431,6 +401,85 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                         jnp.asarray(directions)[pad_idx],
                         jnp.asarray(momentum_factors)[pad_idx], grid)
                     out["I_nu"][idx] = np.asarray(sub["I_nu"])[:n]
+                return out
+
+    # Fused polarized Pallas kernel (ops/pallas_polarized.py scope):
+    # full-Stokes light-only image, thermal ti_te_beta, trilinear
+    # clamped-to-block sampling, rk4/rk2, float32, single-block SKS grid.
+    if (kernel and jax.default_backend() == "tpu"
+            and polarized and cfg.require("image_light")
+            and not aux_planes and cfg.require("render_num_images") == 0
+            and not slow and not use_block_interp
+            and cfg.require("simulation_interp")
+            and integ_name in ("rk4", "rk2") and dtype == jnp.float32
+            and plasma_k.model == PlasmaModel.ti_te_beta
+            and plasma_k.power_frac == 0.0 and plasma_k.kappa_frac == 0.0):
+        from blacklight_tpu.ops import pallas_polarized as ppol
+        from blacklight_tpu.ops import pallas_simulation as psim
+        from blacklight_tpu.transfer.polarized import camera_stokes
+
+        kernel_grid = psim.prepare_kernel_grid(grid)
+        if kernel_grid is not None:
+            from blacklight_tpu.models import synchrotron as _synchro
+
+            sp_k = psim.sim_kernel_params(
+                cfg, GeometricCuts.from_config(cfg), plasma_k,
+                cut_params_from_config(cfg))
+            nu0_k = float(np.asarray(frequencies)[0])
+            freqs_np = np.asarray(frequencies)
+            cam_np = np.asarray(geom.cam_x)
+            rot_split = bool(cfg.require("image_rotation_split"))
+            log_js = _synchro.log_j_scale(nu0_k)
+
+            def _pol_kernel_call(p, d, m, kg):
+                nn_re, nn_im, flags, nsamp, ovf, bad = \
+                    ppol.render_polarized(
+                        p, d, m, freqs_np, params, sp_k, kg, mass_msun,
+                        cam_np, log_js, integrator=integ_name,
+                        rotation_split=rot_split)
+                si, sq, su, sv = camera_stokes(
+                    nn_re, nn_im, p, d, params.bh_a, params.bh_m,
+                    params.ray_flat, jnp.asarray(freqs_np, jnp.float32),
+                    jnp.asarray(geom.u_con, jnp.float32),
+                    jnp.asarray(geom.u_cov, jnp.float32),
+                    jnp.asarray(geom.vert_con_c, jnp.float32), log_js)
+                nan = jnp.float32(jnp.nan)
+                poison = (flags & opts.fallback_nan)[:, None] | bad
+                return ({"I_nu": jnp.where(poison, nan, si),
+                         "Q_nu": jnp.where(poison, nan, sq),
+                         "U_nu": jnp.where(poison, nan, su),
+                         "V_nu": jnp.where(poison, nan, sv)},
+                        flags, nsamp, ovf)
+
+            pol_kernel_jit = jax.jit(_pol_kernel_call)
+            _order_fn = psim.spatial_order
+
+            def kernel_render(positions, directions, momentum_factors):
+                order = _order_fn(positions, block=ppol.ROWS_P * psim.LANES)
+                inv = np.empty_like(order)
+                inv[order] = np.arange(len(order))
+                stokes, flags, nsamp, ovf = pol_kernel_jit(
+                    jnp.asarray(positions, dtype)[order],
+                    jnp.asarray(directions, dtype)[order],
+                    jnp.asarray(momentum_factors, dtype)[order],
+                    kernel_grid)
+                ovf = np.asarray(ovf)[inv]
+                out = {k: np.asarray(v)[inv] for k, v in stokes.items()}
+                out["_flags"] = np.asarray(flags)[inv]
+                out["_n_samples"] = np.asarray(nsamp)[inv]
+                out["_kernel_fallback"] = ovf
+                if ovf.any():
+                    idx = np.nonzero(ovf)[0]
+                    n = len(idx)
+                    m = max(256, 1 << (n - 1).bit_length())
+                    pad_idx = np.concatenate(
+                        [idx, np.repeat(idx[:1], m - n)])
+                    sub = fused_for(False, False)(
+                        jnp.asarray(positions)[pad_idx],
+                        jnp.asarray(directions)[pad_idx],
+                        jnp.asarray(momentum_factors)[pad_idx], grid)
+                    for k in ("I_nu", "Q_nu", "U_nu", "V_nu"):
+                        out[k][idx] = np.asarray(sub[k])[:n]
                 return out
 
     del plasma_k

@@ -140,6 +140,65 @@ def _n_from_stokes(t1, t2, s_i, s_q, s_u, s_v):
     return re, im
 
 
+def camera_stokes(nn_re, nn_im, positions, directions, spin, mass, flat,
+                  frequencies, camera_u_con, camera_u_cov,
+                  camera_vert_con_c, log_j_scale):
+    """Camera-frame Stokes extraction (polarized.cpp:846-949): build the
+    camera tetrad per pixel, project the final coherency components, and
+    apply the nu^3 invariant scale.
+
+    Args:
+      nn_re / nn_im: 10- / 6-tuples (or stacked (..., 10)/(..., 6) arrays)
+        of flat (B*F,) coherency components in _SYM/_ANT order.
+
+    Returns (I, Q, U, V), each (B, F).
+    """
+    b = positions.shape[0]
+    f = frequencies.shape[0]
+    if not isinstance(nn_re, (tuple, list)):
+        nn_re = tuple(nn_re[..., i].reshape(b * f) for i in range(10))
+        nn_im = tuple(nn_im[..., i].reshape(b * f) for i in range(6))
+    dtype = positions.dtype
+    kcon = _kcon_scalar(positions, directions, spin, mass, flat)
+    up_con = jnp.concatenate([
+        (camera_u_con[0] * camera_vert_con_c[0]
+         - (camera_u_cov[1] * camera_vert_con_c[1]
+            + camera_u_cov[2] * camera_vert_con_c[2]
+            + camera_u_cov[3] * camera_vert_con_c[3]) / camera_u_cov[0])[None],
+        camera_vert_con_c[1:] + camera_u_con[1:] * camera_vert_con_c[0],
+    ])
+    up_con = jnp.broadcast_to(up_con, (b, 4))
+    u_con_b = jnp.broadcast_to(camera_u_con, (b, 4))
+    if flat:
+        f_cam = jnp.zeros_like(positions[:, 0])
+        l_cam = (f_cam, f_cam, f_cam)
+    else:
+        _, f_cam, l_cam_v = geometry.ks_scalars(positions[:, 1:4], spin, mass)
+        l_cam = (l_cam_v[:, 0], l_cam_v[:, 1], l_cam_v[:, 2])
+    u_cov_b = jnp.broadcast_to(camera_u_cov, (b, 4))
+    _, _, e1c_cam, e2c_cam = tetrad_rows_c(
+        tuple(u_con_b[:, m] for m in range(4)),
+        tuple(kcon[:, m] for m in range(4)),
+        tuple(directions[:, m] for m in range(4)),
+        tuple(up_con[:, m] for m in range(4)), f_cam, l_cam,
+        ucov=tuple(u_cov_b[:, m] for m in range(4)))
+    e1_cov = jnp.stack(e1c_cam, axis=-1)
+    e2_cov = jnp.stack(e2c_cam, axis=-1)
+
+    def _exf(x):
+        if f == 1:
+            return x
+        return jnp.repeat(x, f, total_repeat_length=b * f)
+
+    e1 = [_exf(e1_cov[:, m]) for m in range(4)]
+    e2 = [_exf(e2_cov[:, m]) for m in range(4)]
+    ss_i, ss_q, ss_u, ss_v = _stokes_from_n(e1, e2, nn_re, nn_im)
+    scale = jnp.exp(jnp.asarray(log_j_scale, dtype)
+                    + 3.0 * jnp.log(frequencies[None, :].astype(dtype)))
+    return (ss_i.reshape(b, f) * scale, ss_q.reshape(b, f) * scale,
+            ss_u.reshape(b, f) * scale, ss_v.reshape(b, f) * scale)
+
+
 def _kcon_scalar(pos, kcov, spin, mass, flat):
     """g^{munu} k_nu via the Kerr-Schild rank-1 structure."""
     if flat:
@@ -513,46 +572,10 @@ def integrate_polarized(positions, directions, momentum_factors, frequencies,
         state["nn_temp_re"], state["nn_temp_im"], _ex(0.5 * state["dl_pv"]))
 
     # Camera-frame Stokes extraction (polarized.cpp:846-949)
-    kcon = _kcon_scalar(positions, directions, spin, mass, flat)
-    up_con = jnp.concatenate([
-        (camera_u_con[0] * camera_vert_con_c[0]
-         - (camera_u_cov[1] * camera_vert_con_c[1]
-            + camera_u_cov[2] * camera_vert_con_c[2]
-            + camera_u_cov[3] * camera_vert_con_c[3]) / camera_u_cov[0])[None],
-        camera_vert_con_c[1:] + camera_u_con[1:] * camera_vert_con_c[0],
-    ])
-    up_con = jnp.broadcast_to(up_con, (b, 4))
-    u_con_b = jnp.broadcast_to(camera_u_con, (b, 4))
-    if flat:
-        f_cam = jnp.zeros_like(positions[:, 0])
-        l_cam = (f_cam, f_cam, f_cam)
-    else:
-        _, f_cam, l_cam_v = geometry.ks_scalars(positions[:, 1:4], spin, mass)
-        l_cam = (l_cam_v[:, 0], l_cam_v[:, 1], l_cam_v[:, 2])
-    u_cov_b = jnp.broadcast_to(camera_u_cov, (b, 4))
-    _, _, e1c_cam, e2c_cam = tetrad_rows_c(
-        tuple(u_con_b[:, m] for m in range(4)),
-        tuple(kcon[:, m] for m in range(4)),
-        tuple(directions[:, m] for m in range(4)),
-        tuple(up_con[:, m] for m in range(4)), f_cam, l_cam,
-        ucov=tuple(u_cov_b[:, m] for m in range(4)))
-    e1_cov = jnp.stack(e1c_cam, axis=-1)
-    e2_cov = jnp.stack(e2c_cam, axis=-1)
-
-    def _exf(x):
-        if f == 1:
-            return x
-        return jnp.repeat(x, f, total_repeat_length=b * f)
-
-    e1 = [_exf(e1_cov[:, m]) for m in range(4)]
-    e2 = [_exf(e2_cov[:, m]) for m in range(4)]
-    ss_i, ss_q, ss_u, ss_v = _stokes_from_n(e1, e2, nn_fin_re, nn_fin_im)
-    scale = jnp.exp(jnp.asarray(log_j_scale, dtype)
-                    + 3.0 * jnp.log(frequencies[None, :].astype(dtype)))
-    stokes_i = ss_i.reshape(b, f) * scale
-    stokes_q = ss_q.reshape(b, f) * scale
-    stokes_u = ss_u.reshape(b, f) * scale
-    stokes_v = ss_v.reshape(b, f) * scale
+    stokes_i, stokes_q, stokes_u, stokes_v = camera_stokes(
+        nn_fin_re, nn_fin_im, positions, directions, spin, mass, flat,
+        frequencies, camera_u_con, camera_u_cov, camera_vert_con_c,
+        log_j_scale)
 
     nan = jnp.array(jnp.nan, dtype)
     poison = (flags & opts.fallback_nan)[:, None] | state["coeff_bad"]

@@ -114,10 +114,19 @@ def main():
             ablate=ab, unroll=not args.no_unroll, **kwargs))
         out = fn(P, D, M, kg)
         jax.block_until_ready(out[0])
-        t0 = time.perf_counter()
-        out = fn(P, D, M, kg)
-        jax.block_until_ready(out[0])
-        dt = time.perf_counter() - t0
+        # The remote axon service can memoize an execution with inputs
+        # identical to the warmup's (round-5 saw a bogus 0.2 ms for a
+        # 50 ms kernel): perturb the momentum factors per rep (same
+        # executable, different inputs) and take the median of 3.
+        times = []
+        for rep in range(3):
+            m_rep = jnp.asarray(M) * (1.0 + 1e-6 * (rep + 1))
+            m_rep.block_until_ready()
+            t0 = time.perf_counter()
+            out = fn(P, D, m_rep, kg)
+            jax.block_until_ready(out[0])
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[1]
         print(f"ablate={ab} run_ms={dt * 1000:.1f} "
               f"nsamp_mean={float(np.asarray(out[2]).mean()):.0f} "
               f"ovf={float(np.asarray(out[3]).mean()):.3f}", flush=True)
