@@ -78,29 +78,51 @@ ROWS_P = 8
 WINDOW_P = 8
 
 
-def _sin_c(x):
-    """Range-reduced float32 sine (Mosaic-safe; ~1e-7 relative in the
-    reduced interval). Arguments here are O(rho dl) and O(40) at most."""
-    two_pi = 2.0 * math.pi
-    k = jnp.floor(x / two_pi + 0.5)
-    r = x - k * two_pi                     # r in [-pi, pi]
-    # fold into [-pi/2, pi/2]: sin(r) = sin(pi - r) for r > pi/2
-    r = jnp.where(r > 0.5 * math.pi, math.pi - r, r)
-    r = jnp.where(r < -0.5 * math.pi, -math.pi - r, r)
+def _sincos_quadrant(x, q_off):
+    """Quadrant-reduced float32 sin (q_off=0) / cos (q_off=1), Mosaic-safe
+    (~4e-7 abs): reduce to r in [-pi/4, pi/4] with a Cephes-style 3-term
+    split of pi/2 (each head exactly representable, full float32 precision
+    for |x| up to ~1e4 - arguments here are O(rho dl), O(40) at most),
+    then pick the Cephes sinf/cosf minimax polynomial by quadrant."""
+    j = jnp.floor(x * (2.0 / math.pi) + 0.5)
+    r = ((x - j * 1.5703125) - j * 4.837512969970703125e-4) \
+        - j * 7.549789948768648e-8
+    q = (j.astype(jnp.int32) + q_off) & 3
     z = r * r
-    # minimax-odd polynomial (Cephes sinf coefficients)
-    return r * (1.0 + z * (-1.6666654611e-1 + z * (8.3321608736e-3
-                                                   + z * -1.9515295891e-4)))
+    sp = r * (1.0 + z * (-1.6666654611e-1 + z * (8.3321608736e-3
+                                                 + z * -1.9515295891e-4)))
+    cp = 1.0 + z * (-0.5 + z * (4.166664568298827e-2
+                                + z * (-1.388731625493765e-3
+                                       + z * 2.443315711809948e-5)))
+    return jnp.where(q == 0, sp,
+                     jnp.where(q == 1, cp,
+                               jnp.where(q == 2, -sp, -cp)))
+
+
+def _sin_c(x):
+    return _sincos_quadrant(x, 0)
 
 
 def _cos_c(x):
-    return _sin_c(x + 0.5 * math.pi)
+    # cos(x) = sin(x + pi/2) via the QUADRANT offset (adding pi/2 to the
+    # float32 argument itself would cost ~|x| ulps of phase)
+    return _sincos_quadrant(x, 1)
 
 
 def _sinh_c(x):
-    """sinh via exp (Mosaic has no sinh); callers clamp |x| <= ~80."""
-    e = jnp.exp(x)
-    return 0.5 * (e - 1.0 / e)
+    """sinh (Mosaic has no sinh primitive); callers clamp |x| <= ~80.
+    Below |x| = 1: sinh = em1 (em1 + 2) / (2 (em1 + 1)) - fully accurate
+    where the naive 0.5 (e^x - e^-x) cancels to roundoff. Above: the
+    naive form (no cancellation there; the expm1 form's em1^2 would
+    overflow float32 past x ~ 44)."""
+    ax = jnp.abs(x)
+    small = ax < 1.0
+    em1 = _expm1(jnp.where(small, ax, 0.0))
+    mag_s = 0.5 * em1 * (em1 + 2.0) / (em1 + 1.0)
+    e = jnp.exp(jnp.where(small, 1.0, ax))
+    mag_l = 0.5 * (e - 1.0 / e)
+    mag = jnp.where(small, mag_s, mag_l)
+    return jnp.where(x < 0.0, -mag, mag)
 
 
 def _cosh_c(x):

@@ -27,6 +27,13 @@ def main():
     ap.add_argument("--sizes", default="64,128")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--precision", default="float32")
+    ap.add_argument("--no-kernel", action="store_true",
+                    help="force the exact XLA streaming path (the fused "
+                         "polarized Pallas kernel routes automatically on "
+                         "TPU when eligible)")
+    ap.add_argument("--ab", action="store_true",
+                    help="render each size through BOTH paths and print "
+                         "kernel-vs-XLA parity statistics")
     args = ap.parse_args()
 
     import jax
@@ -44,10 +51,43 @@ def main():
     cfg.precision = args.precision
     cfg.ray_max_steps = args.steps
 
+    if args.ab:
+        import numpy as np
+        for res in [int(s) for s in args.sizes.split(",")]:
+            cfg.camera_resolution = res
+            fn_k, geom, rays, frequencies, _ = make_simulation_renderer(cfg)
+            fn_x, _, _, _, _ = make_simulation_renderer(cfg, kernel=False)
+            img_k = fn_k(rays.positions, rays.directions,
+                         rays.momentum_factors)
+            img_x = fn_x(rays.positions, rays.directions,
+                         rays.momentum_factors)
+            fb = np.asarray(img_k.get("_kernel_fallback",
+                                      np.zeros(res * res, bool)))
+            geo_same = ((np.asarray(img_k["_flags"])
+                         == np.asarray(img_x["_flags"]))
+                        & (np.asarray(img_k["_n_samples"])
+                           == np.asarray(img_x["_n_samples"])))
+            stats = {"res": res, "fallback_frac": round(float(fb.mean()), 4),
+                     "geo_agree": round(float(geo_same.mean()), 5)}
+            i_scale = float(np.nanmax(np.abs(img_x["I_nu"])))
+            ok = geo_same
+            for k in ("I_nu", "Q_nu", "U_nu", "V_nu"):
+                a = np.asarray(img_k[k])[ok]
+                b = np.asarray(img_x[k])[ok]
+                nan_same = bool((np.isnan(a) == np.isnan(b)).all())
+                floor = max(float(np.nanmax(np.abs(b))) * 1e-4,
+                            i_scale * 1e-8)
+                rel = np.abs(a - b) / (np.abs(b) + floor)
+                stats[k] = {"nan_same": nan_same,
+                            "max_rel": float(np.nanmax(rel)),
+                            "mean_rel": float(np.nanmean(rel))}
+            print(json.dumps(stats))
+        return
+
     for res in [int(s) for s in args.sizes.split(",")]:
         cfg.camera_resolution = res
         render_fn, geom, rays, frequencies, mass = make_simulation_renderer(
-            cfg)
+            cfg, kernel=not args.no_kernel)
         n = res * res
         t0 = time.perf_counter()
         img = render_fn(rays.positions, rays.directions,
