@@ -61,7 +61,7 @@ from blacklight_tpu.ops.geometry import (geodesic_rhs_c, ks_derivatives_c,
                                          renormalize_factor_c)
 from blacklight_tpu.ops.pallas_formula import _expm1, _radius_c
 from blacklight_tpu.ops.pallas_simulation import (
-    BRICK, LANES, MARGIN, THETA_E_ZERO, KernelGrid, SimKernelParams,
+    LANES, THETA_E_ZERO, KernelGrid, SimKernelParams,
     _cks_to_sks_c, _fluid_state_c, _gather_corners, _geometric_keep_c,
     _locate_axis, _value_keep_c, _window_setup_impl, prepare_kernel_grid,
     sim_kernel_params)
@@ -74,8 +74,20 @@ from blacklight_tpu.transfer.polarized_coupling import couple_matter_c
 # amortization matters less and VMEM pressure (boundary-carry table + brick
 # slabs + the 32+16F transfer carries) matters more: default to 8-row
 # (1024-ray) blocks.
+#
+# The window/brick defaults also differ from the unpolarized kernel's
+# (8/(12,12)): the round-5 ablation showed loop-carry traffic is NOT the
+# per-step bottleneck (doubling the window left the skeleton unchanged),
+# so the only cost of a short window is brick-DMA amortization - while
+# the compile-time cost of the unrolled two-sweep body is severe (the
+# remote Mosaic build of the window-8 (12,12) variant, whose gather loop
+# alone emits bk*bj=144 predicated groups per sample, ran >49 min without
+# completing). window=4 with an (8,8) brick keeps the emitted body near
+# the unpolarized kernel's size.
 ROWS_P = 8
-WINDOW_P = 8
+WINDOW_P = 4
+BRICK_P = (8, 8)
+MARGIN_P = (3, 3)
 
 
 def _sincos_quadrant(x, q_off):
@@ -262,7 +274,7 @@ def _thermal_polarized_c(nu_cgs, nu0, st, sin_b, cos_b, sin2_b,
 
 def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                  nus, mass_msun, camera_x, log_j_scale, integrator="rk4",
-                 window=WINDOW_P, brick=BRICK, margin=MARGIN,
+                 window=WINDOW_P, brick=BRICK_P, margin=MARGIN_P,
                  interpret=False, rows=ROWS_P, rotation_split=False):
     """Build the two-sweep polarized kernel closure."""
     if integrator not in ("rk4", "rk2"):
@@ -705,7 +717,8 @@ def render_polarized(positions, directions, momentum_factors, frequencies,
                      params: geo.GeodesicParams, sp: SimKernelParams,
                      kg: KernelGrid, mass_msun: float, camera_x,
                      log_j_scale: float, integrator: str = "rk4",
-                     window: int = WINDOW_P, brick=BRICK, margin=MARGIN,
+                     window: int = WINDOW_P, brick=BRICK_P,
+                     margin=MARGIN_P,
                      interpret: bool = False, rows: int = ROWS_P,
                      rotation_split: bool = False):
     """Fused Pallas polarized render of a ray bundle.
