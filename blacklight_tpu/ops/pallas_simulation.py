@@ -763,10 +763,17 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
                  nus, mass_msun, camera_x, log_j_scale,
                  integrator="rk4", window=WINDOW, brick=BRICK,
                  margin=MARGIN, interpret=False, ablate=(), rows=ROWS,
-                 unroll=True):
+                 unroll=True, carry_io=False, phase_windows=None):
     """Build the fused kernel closure. kg_meta = (n_i, n_j, n_k, n_i_pad,
     nvar, ind, bounds) - static ints/floats only; the table/coordinate
-    arrays arrive as refs."""
+    arrays arrive as refs.
+
+    carry_io: phased-dispatch mode (render_simulation_phased). The kernel
+    additionally reads per-ray carried state (packed masks, r_mid_prev,
+    n_samp, raw I and attenuation per frequency) plus a scalar absolute
+    step base, runs phase_windows windows, and writes the carried state
+    back out - so the host can compact away finished rays between phases
+    instead of every block paying for its slowest ray (rk4/rk2 only)."""
     n_i, n_j, n_k, n_i_pad, nvar, ind, bounds = kg_meta
     spin, mass, flat = params.bh_a, params.bh_m, params.ray_flat
     x_unit = Physics.gg_msun * mass_msun / (Physics.c * Physics.c)
@@ -786,6 +793,10 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
     mk, mj = margin
     n_chunks = n_i_pad // 128
     n_windows = -(-max_steps // window)
+    if carry_io:
+        if integrator == "dp":
+            raise ValueError("carry_io phased mode supports rk4/rk2 only")
+        n_windows = phase_windows
     r_lo, r_hi, th_lo, th_hi, ph_lo, ph_hi = bounds
     shape = (rows, LANES)
     names = ["rho", "pgas", "uu1", "uu2", "uu3", "bb1", "bb2", "bb3"]
@@ -798,12 +809,27 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
     def locate_axis(x, face_ref, center_ref, n_ax):
         return _locate_axis(x, face_ref, center_ref, n_ax, shape)
 
-    def kernel(x0r, x1r, x2r, x3r, p0r, p1r, p2r, p3r, momr,
-               x1f_r, x1v_r, x2f_r, x2v_r, x3f_r, x3v_r, tab_hbm,
-               *out_and_scratch):
+    def kernel(*refs):
+        (x0r, x1r, x2r, x3r, p0r, p1r, p2r, p3r, momr), refs = \
+            refs[:9], refs[9:]
+        if carry_io:
+            nbase_r = refs[0]
+            masksr, rmidr, nsampr = refs[1:4]
+            i_inr = refs[4:4 + nf]
+            a_inr = refs[4 + nf:4 + 2 * nf]
+            refs = refs[4 + 2 * nf:]
+        (x1f_r, x1v_r, x2f_r, x2v_r, x3f_r, x3v_r, tab_hbm), \
+            out_and_scratch = refs[:7], refs[7:]
         i_outs = out_and_scratch[:nf]
         flag_out, nsamp_out, ovf_out = out_and_scratch[nf:nf + 3]
-        brick_scr, acc_scr, sem = out_and_scratch[nf + 3:]
+        out_and_scratch = out_and_scratch[nf + 3:]
+        if carry_io:
+            pos_outs = out_and_scratch[:7]      # x0-x3, p1-p3
+            masks_out, rmid_out = out_and_scratch[7:9]
+            iraw_outs = out_and_scratch[9:9 + nf]
+            araw_outs = out_and_scratch[9 + nf:9 + 2 * nf]
+            out_and_scratch = out_and_scratch[9 + 2 * nf:]
+        brick_scr, acc_scr, sem = out_and_scratch
 
         x0, x1, x2, x3 = x0r[:], x1r[:], x2r[:], x3r[:]
         p0, p1, p2, p3 = p0r[:], p1r[:], p2r[:], p3r[:]
@@ -812,33 +838,53 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
         zero = jnp.zeros(shape, f32)
         i_false = jnp.zeros(shape, jnp.int32)
 
-        # Padding rays (prep() parks them at x1 = 1e3) start DEAD so they
-        # never vote on brick origins; real rays never start there (the
-        # camera is interior to it by construction).
-        alive0 = (x1 != 1.0e3).astype(jnp.int32)
         r0 = _radius_c(x1, x2, x3, spin)
-        state0 = dict(
-            w=jnp.zeros((), jnp.int32),
-            x0=x0, x1=x1, x2=x2, x3=x3, p1=p1, p2=p2, p3=p3,
-            # Kerr-Schild radius of the current position, carried across
-            # steps (each step's r_new is the next step's r) so the
-            # step-size/termination radius is never recomputed.
-            r=r0,
-            alive=alive0, trunc=i_false, flag=i_false,
-            bad=i_false, ovf=i_false,
-            r_mid_prev=zero, n_samp=jnp.zeros(shape, jnp.int32),
-        )
-        if integrator == "dp":
-            state0["h"] = -params.ray_step * r0
-            state0["num_retry"] = jnp.zeros(shape, jnp.int32)
-            state0["prev_fail"] = i_false
-        for f_i in range(nf):
-            state0[f"I{f_i}"] = zero
-            # attenuation exp(-tau) carried multiplicatively: each step
-            # multiplies by exp(-delta_tau) (= 1 - em, already computed)
-            # instead of accumulating tau and paying an exp per frequency
-            # per step
-            state0[f"A{f_i}"] = jnp.ones(shape, f32)
+        if carry_io:
+            # Carried state: masks pack (alive, trunc, flag, bad, ovf)
+            # bits; positions/momenta arrive through the ordinary ray
+            # columns (the host rebuilds them per phase).
+            n_base = nbase_r[0, 0]
+            masks0 = masksr[:]
+            state0 = dict(
+                w=jnp.zeros((), jnp.int32),
+                x0=x0, x1=x1, x2=x2, x3=x3, p1=p1, p2=p2, p3=p3,
+                r=r0,
+                alive=masks0 & 1, trunc=(masks0 >> 1) & 1,
+                flag=(masks0 >> 2) & 1, bad=(masks0 >> 3) & 1,
+                ovf=(masks0 >> 4) & 1,
+                r_mid_prev=rmidr[:], n_samp=nsampr[:],
+            )
+            for f_i in range(nf):
+                state0[f"I{f_i}"] = i_inr[f_i][:]
+                state0[f"A{f_i}"] = a_inr[f_i][:]
+        else:
+            n_base = jnp.zeros((), jnp.int32)
+            # Padding rays (prep() parks them at x1 = 1e3) start DEAD so
+            # they never vote on brick origins; real rays never start
+            # there (the camera is interior to it by construction).
+            alive0 = (x1 != 1.0e3).astype(jnp.int32)
+            state0 = dict(
+                w=jnp.zeros((), jnp.int32),
+                x0=x0, x1=x1, x2=x2, x3=x3, p1=p1, p2=p2, p3=p3,
+                # Kerr-Schild radius of the current position, carried
+                # across steps (each step's r_new is the next step's r) so
+                # the step-size/termination radius is never recomputed.
+                r=r0,
+                alive=alive0, trunc=i_false, flag=i_false,
+                bad=i_false, ovf=i_false,
+                r_mid_prev=zero, n_samp=jnp.zeros(shape, jnp.int32),
+            )
+            if integrator == "dp":
+                state0["h"] = -params.ray_step * r0
+                state0["num_retry"] = jnp.zeros(shape, jnp.int32)
+                state0["prev_fail"] = i_false
+            for f_i in range(nf):
+                state0[f"I{f_i}"] = zero
+                # attenuation exp(-tau) carried multiplicatively: each
+                # step multiplies by exp(-delta_tau) (= 1 - em, already
+                # computed) instead of accumulating tau and paying an exp
+                # per frequency per step
+                state0[f"A{f_i}"] = jnp.ones(shape, f32)
 
         def sks_of(cx, cy, cz, r=None):
             return _cks_to_sks_c(cx, cy, cz, spin, r)
@@ -1273,7 +1319,7 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
 
         def outer(s):
             origins = window_setup(s)
-            base = s["w"] * window
+            base = n_base + s["w"] * window
 
             step_fn = dp_step if integrator == "dp" else rk_step
 
@@ -1304,6 +1350,16 @@ def _make_kernel(params: geo.GeodesicParams, sp: SimKernelParams, kg_meta,
         flag_out[:] = s["flag"]
         nsamp_out[:] = s["n_samp"]
         ovf_out[:] = s["ovf"]
+        if carry_io:
+            for oi, key in enumerate(("x0", "x1", "x2", "x3",
+                                      "p1", "p2", "p3")):
+                pos_outs[oi][:] = s[key]
+            masks_out[:] = (s["alive"] + 2 * s["trunc"] + 4 * s["flag"]
+                            + 8 * s["bad"] + 16 * s["ovf"])
+            rmid_out[:] = s["r_mid_prev"]
+            for f_i in range(nf):
+                iraw_outs[f_i][:] = s[f"I{f_i}"]
+                araw_outs[f_i][:] = s[f"A{f_i}"]
 
     return kernel
 
@@ -1390,3 +1446,237 @@ def render_simulation(positions, directions, momentum_factors, frequencies,
     ovf = outs[nf + 2].reshape(-1)[:b].astype(bool)
     i_img = imgs[0] if scalar_freq else jnp.stack(imgs, axis=-1)
     return i_img, flags, nsamp, ovf
+
+
+def render_simulation_phase(positions, directions, momentum_factors,
+                            carry, n_base, frequencies,
+                            params: geo.GeodesicParams, sp: SimKernelParams,
+                            kg: KernelGrid, mass_msun: float, camera_x,
+                            log_j_scale: float, integrator: str = "rk4",
+                            window: int = WINDOW, brick=BRICK,
+                            margin=MARGIN, interpret: bool = False,
+                            rows=ROWS, phase_steps: int = 512):
+    """One carry-io phase launch (see render_simulation_phased).
+
+    positions/directions columns already reflect the carried ray state
+    (p0 and momentum factors are constants of motion). carry is a dict
+    {masks (B,) int32 packed alive|trunc|flag|bad|ovf, r_mid_prev (B,),
+    n_samp (B,), I (B, F), A (B, F)}; B must be a multiple of
+    rows * LANES. n_base is the absolute step index this phase starts at
+    (dynamic - one executable serves every phase).
+
+    Returns (i_img (B, F) poisoned+scaled, flags, nsamp, ovf,
+    new_pos (B, 4), new_dir_p (B, 3), new_carry).
+    """
+    if phase_steps % window:
+        raise ValueError("phase_steps must be a multiple of window")
+    nus = [float(v) for v in np.asarray(frequencies)]
+    nf = len(nus)
+    b = positions.shape[0]
+    block = rows * LANES
+    if b % block:
+        raise ValueError("phased launches take pre-padded bundles")
+    n_blocks = b // block
+    dtype = jnp.float32
+
+    def col(a):
+        return jnp.asarray(a).reshape(n_blocks * rows, LANES)
+
+    pos = jnp.asarray(positions, dtype)
+    dirs = jnp.asarray(directions, dtype)
+    cols = [col(pos[:, m]) for m in range(4)] \
+        + [col(dirs[:, m]) for m in range(4)] \
+        + [col(jnp.asarray(momentum_factors, dtype))]
+    carry_cols = [col(jnp.asarray(carry["masks"], jnp.int32)),
+                  col(jnp.asarray(carry["r_mid_prev"], dtype)),
+                  col(jnp.asarray(carry["n_samp"], jnp.int32))]
+    for f_i in range(nf):
+        carry_cols.append(col(jnp.asarray(carry["I"][:, f_i], dtype)))
+    for f_i in range(nf):
+        carry_cols.append(col(jnp.asarray(carry["A"][:, f_i], dtype)))
+    nbase = jnp.asarray(n_base, jnp.int32).reshape(1, 1)
+
+    kg_meta = (kg.n_i, kg.n_j, kg.n_k, kg.n_i_pad, kg.nvar, kg.ind,
+               kg.bounds)
+    kernel = _make_kernel(params, sp, kg_meta, nus, mass_msun,
+                          np.asarray(camera_x, np.float64), log_j_scale,
+                          integrator=integrator, window=window,
+                          brick=brick, margin=margin, interpret=interpret,
+                          rows=rows, carry_io=True,
+                          phase_windows=phase_steps // window)
+
+    bk, bj = brick
+    ray_spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [ray_spec] * 9 + [smem_spec] + [ray_spec] * (3 + 2 * nf) \
+        + [row_spec] * 6 + [pl.BlockSpec(memory_space=pltpu.ANY)]
+    fshape = jax.ShapeDtypeStruct((n_blocks * rows, LANES), dtype)
+    ishape = jax.ShapeDtypeStruct((n_blocks * rows, LANES), jnp.int32)
+    out_shape = [fshape] * nf + [ishape] * 3 \
+        + [fshape] * 7 + [ishape, fshape] + [fshape] * (2 * nf)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[ray_spec] * len(out_shape),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((rows, kg.nvar, bk, bj, kg.n_i_pad), jnp.float32),
+            pltpu.VMEM((kg.nvar + 2, rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((rows,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*cols, nbase, *carry_cols,
+      kg.x1f, kg.x1v, kg.x2f, kg.x2v, kg.x3f, kg.x3v, kg.table)
+
+    def flat(o):
+        return o.reshape(-1)
+
+    i_img = jnp.stack([flat(outs[f_i]) for f_i in range(nf)], axis=-1)
+    flags = flat(outs[nf]).astype(bool)
+    nsamp = flat(outs[nf + 1])
+    ovf = flat(outs[nf + 2]).astype(bool)
+    st = outs[nf + 3:]
+    new_pos = jnp.stack([flat(st[m]) for m in range(4)], axis=-1)
+    new_dir_p = jnp.stack([flat(st[4 + m]) for m in range(3)], axis=-1)
+    new_carry = {
+        "masks": flat(st[7]), "r_mid_prev": flat(st[8]),
+        "n_samp": nsamp,
+        "I": jnp.stack([flat(st[9 + f_i]) for f_i in range(nf)], axis=-1),
+        "A": jnp.stack([flat(st[9 + nf + f_i]) for f_i in range(nf)],
+                       axis=-1),
+    }
+    return i_img, flags, nsamp, ovf, new_pos, new_dir_p, new_carry
+
+
+def render_simulation_phased(positions, directions, momentum_factors,
+                             frequencies, params: geo.GeodesicParams,
+                             sp: SimKernelParams, kg: KernelGrid,
+                             mass_msun: float, camera_x,
+                             log_j_scale: float, integrator: str = "rk4",
+                             window: int = WINDOW, brick=BRICK,
+                             margin=MARGIN, rows=ROWS,
+                             phase_steps: int = 512,
+                             chunk_rays: int = 16384, phase_jit=None):
+    """Phased-dispatch render: like render_simulation, but the step budget
+    is split into phases of phase_steps and finished/overflowed rays are
+    compacted away between phases.
+
+    A kernel block runs until its SLOWEST ray terminates (the while cond
+    is any(alive)), so a monolithic launch pays sum-of-block-maxima of
+    the ray step counts while useful work is the mean (~1.4x waste on the
+    BASELINE mock workload, scripts/bench_raggedness.py). Compacting
+    survivors every phase_steps bounds that tax to the final phase.
+    Overflow-latched rays are also dropped at phase boundaries - the
+    caller re-renders them on the XLA path anyway - so (unlike
+    render_simulation) their flags/n_samples outputs here are NOT exact;
+    callers must take those from the fallback render too.
+
+    One executable serves all phases and chunks: every launch is
+    chunk_rays rays (the survivor pool is re-tiled by spatial_order and
+    padded), and the phase's absolute step base rides in SMEM.
+
+    phase_jit: optional pre-jitted render_simulation_phase closure (the
+    pipeline passes one so repeated bundles share it).
+
+    Returns (i_img (B, F), flags, nsamp, ovf) like render_simulation.
+    """
+    b = positions.shape[0]
+    nus = np.asarray(frequencies)
+    nf = len(nus)
+    if phase_jit is None:
+        phase_jit = jax.jit(
+            lambda p, d, m, c, nb, kgrid: render_simulation_phase(
+                p, d, m, c, nb, nus, params, sp, kgrid, mass_msun,
+                np.asarray(camera_x), log_j_scale, integrator=integrator,
+                window=window, brick=brick, margin=margin, rows=rows,
+                phase_steps=phase_steps))
+
+    max_steps = params.ray_max_steps
+    n_phases = -(-max_steps // phase_steps)
+
+    # Working pool (float32 host arrays)
+    cur_pos = np.asarray(positions, np.float32)
+    cur_dir = np.asarray(directions, np.float32)
+    cur_mom = np.asarray(momentum_factors, np.float32)
+    cur_idx = np.arange(b)
+    carry = {"masks": np.ones(b, np.int32),
+             "r_mid_prev": np.zeros(b, np.float32),
+             "n_samp": np.zeros(b, np.int32),
+             "I": np.zeros((b, nf), np.float32),
+             "A": np.ones((b, nf), np.float32)}
+
+    out_i = np.full((b, nf), np.nan, np.float32)
+    out_flags = np.zeros(b, bool)
+    out_nsamp = np.zeros(b, np.int64)
+    out_ovf = np.zeros(b, bool)
+
+    pad_pos = np.array([0.0, 1.0e3, 0.0, 0.0], np.float32)
+    pad_dir = np.array([-1.0, -1.0, 0.0, 0.0], np.float32)
+
+    for phase in range(n_phases):
+        nb = len(cur_idx)
+        n_pad = (-nb) % chunk_rays
+        if n_pad:
+            cur_pos = np.concatenate(
+                [cur_pos, np.broadcast_to(pad_pos, (n_pad, 4))])
+            cur_dir = np.concatenate(
+                [cur_dir, np.broadcast_to(pad_dir, (n_pad, 4))])
+            cur_mom = np.concatenate([cur_mom, np.ones(n_pad, np.float32)])
+            carry = {k: np.concatenate(
+                [v, np.zeros((n_pad,) + v.shape[1:], v.dtype)])
+                for k, v in carry.items()}
+        res_i, res_fl, res_ns, res_ovf = [], [], [], []
+        res_pos, res_dirp, res_carry = [], [], []
+        for i in range(0, nb + n_pad, chunk_rays):
+            sl = slice(i, i + chunk_rays)
+            csl = {k: v[sl] for k, v in carry.items()}
+            ii, fl, ns, ov, npos, ndirp, nc = phase_jit(
+                cur_pos[sl], cur_dir[sl], cur_mom[sl], csl,
+                phase * phase_steps, kg)
+            res_i.append(np.asarray(ii)); res_fl.append(np.asarray(fl))
+            res_ns.append(np.asarray(ns)); res_ovf.append(np.asarray(ov))
+            res_pos.append(np.asarray(npos))
+            res_dirp.append(np.asarray(ndirp))
+            res_carry.append(jax.tree.map(np.asarray, nc))
+        ii = np.concatenate(res_i)[:nb]
+        fl = np.concatenate(res_fl)[:nb]
+        ns = np.concatenate(res_ns)[:nb]
+        ov = np.concatenate(res_ovf)[:nb]
+        npos = np.concatenate(res_pos)[:nb]
+        ndirp = np.concatenate(res_dirp)[:nb]
+        nc = {k: np.concatenate([c[k] for c in res_carry])[:nb]
+              for k in carry}
+
+        alive = (nc["masks"] & 1).astype(bool)
+        done = ~alive | ov | (phase == n_phases - 1)
+        di = cur_idx[done]
+        out_i[di] = ii[done]
+        out_flags[di] = fl[done]
+        out_nsamp[di] = ns[done]
+        out_ovf[di] = ov[done]
+        keep = ~done
+        if not keep.any():
+            break
+        cur_idx = cur_idx[keep]
+        cur_pos = npos[keep]
+        cur_dir = np.concatenate([cur_dir[:nb][keep][:, :1],
+                                  ndirp[keep]], axis=1)
+        cur_mom = cur_mom[:nb][keep]
+        carry = {k: v[keep] for k, v in nc.items()}
+        # Re-tile the survivor pool: positions have evolved, so the
+        # original camera-plane ordering no longer bounds the brick span.
+        order = spatial_order(cur_pos, block=rows * LANES)
+        cur_idx = cur_idx[order]
+        cur_pos = cur_pos[order]
+        cur_dir = cur_dir[order]
+        cur_mom = cur_mom[order]
+        carry = {k: v[order] for k, v in carry.items()}
+
+    i_img = jnp.asarray(out_i[:, 0] if nf == 1 and np.ndim(
+        np.asarray(frequencies)) == 0 else out_i)
+    return (i_img, jnp.asarray(out_flags), jnp.asarray(out_nsamp),
+            jnp.asarray(out_ovf))

@@ -147,6 +147,49 @@ def test_kernel_overflow_flags_small_brick(fixtures_dir):
     assert ovf.mean() > 0.5
 
 
+def test_phased_matches_single_launch(fixtures_dir):
+    """Phased dispatch (carry-io kernel + host compaction between phases)
+    reproduces the monolithic launch: geodesic state is carried exactly,
+    so flags/n_samples match ray-for-ray and I matches bitwise wherever
+    neither scheme latched overflow."""
+    cfg = _setup(fixtures_dir, steps=512)
+    from blacklight_tpu.models import synchrotron
+
+    bh_m, bh_a, mass_msun = pipeline.bh_mass_spin(cfg)
+    render_fn, geom, rays, freqs, _ = make_simulation_renderer(
+        cfg, wavefront=False)
+    res = int(cfg.require("camera_resolution"))
+    P, D, M = _tile(rays, res)
+
+    grid, _ = load_grid(cfg, dtype=jnp.float32)
+    kg = psim.prepare_kernel_grid(grid)
+    params = pipeline.geodesic_params_from_config(cfg, bh_m, bh_a)
+    sp = psim.sim_kernel_params(cfg, GeometricCuts.from_config(cfg),
+                                plasma_params_from_config(cfg),
+                                cut_params_from_config(cfg))
+    nu0 = float(np.asarray(freqs)[0])
+    common = dict(integrator="rk4", rows=8)
+    i1, fl1, ns1, ov1 = psim.render_simulation(
+        P, D, M, np.asarray(freqs), params, sp, kg, mass_msun,
+        np.asarray(geom.cam_x), synchrotron.log_j_scale(nu0),
+        interpret=True, **common)
+    phase_jit = lambda p, d, m, c, nb, kgrid: psim.render_simulation_phase(
+        p, d, m, c, nb, np.asarray(freqs), params, sp, kgrid, mass_msun,
+        np.asarray(geom.cam_x), synchrotron.log_j_scale(nu0),
+        interpret=True, phase_steps=256, **common)
+    i2, fl2, ns2, ov2 = psim.render_simulation_phased(
+        P, D, M, np.asarray(freqs), params, sp, kg, mass_msun,
+        np.asarray(geom.cam_x), synchrotron.log_j_scale(nu0),
+        phase_steps=256, chunk_rays=1024, phase_jit=phase_jit, **common)
+    i1, fl1, ns1, ov1, i2, fl2, ns2, ov2 = map(
+        np.asarray, (i1, fl1, ns1, ov1, i2, fl2, ns2, ov2))
+    ok = ~ov1 & ~ov2
+    assert ok.mean() > 0.5
+    np.testing.assert_array_equal(fl2[ok], fl1[ok])
+    np.testing.assert_array_equal(ns2[ok], ns1[ok])
+    np.testing.assert_array_equal(i2[ok], i1[ok])
+
+
 def test_prepare_kernel_grid_rejects_ineligible(fixtures_dir):
     cfg = _setup(fixtures_dir)
     grid, _ = load_grid(cfg, dtype=jnp.float32)
