@@ -33,6 +33,17 @@ Rays whose angular anchor leaves the window brick latch a per-ray
 overflow flag exactly like the unpolarized kernel; the host re-renders
 those rays on the exact XLA streaming path.
 
+MEASURED OUTCOME (v5e, round 5): this kernel is ~28% SLOWER than the XLA
+streaming path under the identical 1024^2 tile protocol (36.0k vs 50.0k
+rays/s, 512 steps, 5.2% fallback included). The only variant Mosaic could
+compile in reasonable time (window 4, (8,8) brick - the window-8 (12,12)
+build ran >49 min without completing) re-integrates every window in sweep
+B and pays brick DMAs every 4 steps, which the streaming XLA path's plain
+gathers beat. The pipeline therefore routes polarized renders to the XLA
+path unless kernel="force" (pipeline_simulation.py); the kernel is kept
+for A/B (scripts/bench_polarized.py) and as the starting point for a
+future wider-window build on hardware with a local (cacheable) compiler.
+
 Scope: single-block SKS grids, simulation_interp=true clamped-to-block,
 ti_te_beta thermal plasma, polarized image_light only (no aux planes),
 rk4/rk2 integrators, float32.

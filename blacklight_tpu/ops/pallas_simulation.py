@@ -471,6 +471,39 @@ def spatial_order(positions, block=1024):
     return np.lexsort((vf, uf, vb, ub))
 
 
+def angular_order(positions, block=1024):
+    """Group MID-FLIGHT rays into (phi, theta)-compact runs.
+
+    Used by phased dispatch to re-tile survivor pools between phases: the
+    kernel's brick is voted per 128-ray sublane group in (phi, theta)
+    cells with the radial axis riding whole, so survivor coherence is
+    angular coherence - a camera-plane proxy (spatial_order) decorrelates
+    once rays have evolved. phi's +/-pi seam can split a bin pair, but
+    seam-straddling groups stay on the fast path via the kernel's
+    half-turn-shifted frame test.
+
+    Returns a permutation of range(len(positions)).
+    """
+    q = np.asarray(positions)
+    x, y, z = q[:, 1], q[:, 2], q[:, 3]
+    r = np.sqrt(x * x + y * y + z * z) + 1.0e-30
+    phi = np.arctan2(y, x)
+    cth = z / r
+    b = len(phi)
+    g = max(1, int(np.ceil(np.sqrt(b / float(block)))))
+
+    def quant(v, levels):
+        span = np.ptp(v)
+        if span <= 0.0:
+            return np.zeros(len(v), np.int64)
+        return np.clip(((v - v.min()) / span * levels)
+                       .astype(np.int64), 0, levels - 1)
+
+    pb, tb = quant(phi, g), quant(cth, g)
+    pf, tf = quant(phi, 8 * g), quant(cth, 8 * g)
+    return np.lexsort((tf, pf, tb, pb))
+
+
 # ---------------------------------------------------------------------------
 # Static parameter bundles
 
@@ -1629,26 +1662,26 @@ def render_simulation_phased(positions, directions, momentum_factors,
             carry = {k: np.concatenate(
                 [v, np.zeros((n_pad,) + v.shape[1:], v.dtype)])
                 for k, v in carry.items()}
-        res_i, res_fl, res_ns, res_ovf = [], [], [], []
-        res_pos, res_dirp, res_carry = [], [], []
+        # Dispatch every chunk of the phase asynchronously, then fetch all
+        # results in ONE batched device_get: a per-chunk np.asarray would
+        # serialize a blocking transfer per output array per chunk, which
+        # on a high-latency backend (the remote axon tunnel) costs far
+        # more than the kernel time itself.
+        launched = []
         for i in range(0, nb + n_pad, chunk_rays):
             sl = slice(i, i + chunk_rays)
             csl = {k: v[sl] for k, v in carry.items()}
-            ii, fl, ns, ov, npos, ndirp, nc = phase_jit(
-                cur_pos[sl], cur_dir[sl], cur_mom[sl], csl,
-                phase * phase_steps, kg)
-            res_i.append(np.asarray(ii)); res_fl.append(np.asarray(fl))
-            res_ns.append(np.asarray(ns)); res_ovf.append(np.asarray(ov))
-            res_pos.append(np.asarray(npos))
-            res_dirp.append(np.asarray(ndirp))
-            res_carry.append(jax.tree.map(np.asarray, nc))
-        ii = np.concatenate(res_i)[:nb]
-        fl = np.concatenate(res_fl)[:nb]
-        ns = np.concatenate(res_ns)[:nb]
-        ov = np.concatenate(res_ovf)[:nb]
-        npos = np.concatenate(res_pos)[:nb]
-        ndirp = np.concatenate(res_dirp)[:nb]
-        nc = {k: np.concatenate([c[k] for c in res_carry])[:nb]
+            launched.append(phase_jit(cur_pos[sl], cur_dir[sl],
+                                      cur_mom[sl], csl,
+                                      phase * phase_steps, kg))
+        fetched = jax.device_get(launched)
+        ii = np.concatenate([f[0] for f in fetched])[:nb]
+        fl = np.concatenate([f[1] for f in fetched])[:nb]
+        ns = np.concatenate([f[2] for f in fetched])[:nb]
+        ov = np.concatenate([f[3] for f in fetched])[:nb]
+        npos = np.concatenate([f[4] for f in fetched])[:nb]
+        ndirp = np.concatenate([f[5] for f in fetched])[:nb]
+        nc = {k: np.concatenate([f[6][k] for f in fetched])[:nb]
               for k in carry}
 
         alive = (nc["masks"] & 1).astype(bool)
@@ -1669,7 +1702,10 @@ def render_simulation_phased(positions, directions, momentum_factors,
         carry = {k: v[keep] for k, v in nc.items()}
         # Re-tile the survivor pool: positions have evolved, so the
         # original camera-plane ordering no longer bounds the brick span.
-        order = spatial_order(cur_pos, block=rows * LANES)
+        # Sort by the coordinates the brick actually spans - (phi, theta)
+        # angles - not a camera-plane PCA proxy: mid-flight survivors from
+        # different image tiles can be angular neighbors and vice versa.
+        order = angular_order(cur_pos, block=rows * LANES)
         cur_idx = cur_idx[order]
         cur_pos = cur_pos[order]
         cur_dir = cur_dir[order]

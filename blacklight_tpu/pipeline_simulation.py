@@ -49,6 +49,23 @@ WAVEFRONT_CAPACITY = 1024
 WAVEFRONT_MODE = "brick"
 WAVEFRONT_BRICK = (8, 8, 16)  # (BK, BJ, BI) cells
 
+# Fused-kernel phased dispatch (ops/pallas_simulation.render_simulation_
+# phased): split the step budget into phases and compact finished /
+# overflow-latched rays away between them. A kernel block runs until its
+# slowest ray terminates, so the monolithic launch pays sum-of-block-
+# maxima of ray step counts (~1.4x the mean on the bench workload,
+# scripts/bench_raggedness.py). MEASURED OFF on the remote-tunnel v5e:
+# 21.4k rays/s vs 43.5k monolithic at 1024^2/2000 steps - the per-phase
+# host round trip (fetch carries, compact, re-upload ~15 arrays/ray over
+# the tunnel) plus a higher overflow-fallback fraction (13.4% vs 10.4%;
+# re-tiled survivor pools are less brick-coherent than camera tiles)
+# outweigh the ~1.3x raggedness saving. Kept for A/B
+# (scripts/bench_simulation.py --phased) and for local-host TPUs where
+# device<->host bandwidth is PCIe, not an ssh tunnel.
+KERNEL_PHASED = False
+KERNEL_PHASE_STEPS = 512
+KERNEL_PHASE_CHUNK = 65536  # rays per phase launch (pool is padded to it)
+
 
 def plasma_params_from_config(cfg) -> synchrotron.PlasmaParams:
     model = cfg.require("plasma_model")
@@ -372,16 +389,46 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                 p, d, m, freqs_np, params, sp_k, kg, mass_msun, cam_np,
                 _synchro.log_j_scale(nu0_k), integrator=integ_name,
                 window=kernel_window))
+            log_js_k = _synchro.log_j_scale(nu0_k)
+            # Phased dispatch (render_simulation_phased): a kernel block
+            # runs until its SLOWEST ray terminates, so the monolithic
+            # launch pays sum-of-block-maxima (~1.4x the mean step count
+            # on the bench workload); compacting survivors every
+            # KERNEL_PHASE_STEPS bounds that tax to the final phase.
+            # carry-io mode supports rk4/rk2 only, and padding to the
+            # phase chunk makes small bundles not worth it.
+            use_phased = (KERNEL_PHASED and integ_name in ("rk4", "rk2")
+                          and params.ray_max_steps > KERNEL_PHASE_STEPS)
+            phase_jit = None
+            if use_phased:
+                phase_jit = jax.jit(
+                    lambda p, d, m, c, nb, kg:
+                    psim.render_simulation_phase(
+                        p, d, m, c, nb, freqs_np, params, sp_k, kg,
+                        mass_msun, cam_np, log_js_k,
+                        integrator=integ_name, window=kernel_window,
+                        phase_steps=KERNEL_PHASE_STEPS))
 
             def kernel_render(positions, directions, momentum_factors):
                 order = psim.spatial_order(positions)
                 inv = np.empty_like(order)
                 inv[order] = np.arange(len(order))
-                i_img, flags, nsamp, ovf = kernel_jit(
-                    jnp.asarray(positions, dtype)[order],
-                    jnp.asarray(directions, dtype)[order],
-                    jnp.asarray(momentum_factors, dtype)[order],
-                    kernel_grid)
+                if use_phased and len(order) >= KERNEL_PHASE_CHUNK:
+                    i_img, flags, nsamp, ovf = psim.render_simulation_phased(
+                        np.asarray(positions, np.float32)[order],
+                        np.asarray(directions, np.float32)[order],
+                        np.asarray(momentum_factors, np.float32)[order],
+                        freqs_np, params, sp_k, kernel_grid, mass_msun,
+                        cam_np, log_js_k, integrator=integ_name,
+                        window=kernel_window,
+                        phase_steps=KERNEL_PHASE_STEPS,
+                        chunk_rays=KERNEL_PHASE_CHUNK, phase_jit=phase_jit)
+                else:
+                    i_img, flags, nsamp, ovf = kernel_jit(
+                        jnp.asarray(positions, dtype)[order],
+                        jnp.asarray(directions, dtype)[order],
+                        jnp.asarray(momentum_factors, dtype)[order],
+                        kernel_grid)
                 ovf = np.asarray(ovf)[inv]
                 out = {"I_nu": np.asarray(i_img)[inv],
                        "_flags": np.asarray(flags)[inv],
@@ -390,7 +437,9 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                 if ovf.any():
                     # Rays whose window brick overflowed re-render on the
                     # exact XLA path, padded to power-of-two buckets so
-                    # repeated fallbacks share executables.
+                    # repeated fallbacks share executables. Phased
+                    # dispatch drops latched rays at phase boundaries, so
+                    # their flags/n_samples also come from the fallback.
                     idx = np.nonzero(ovf)[0]
                     n = len(idx)
                     m = max(256, 1 << (n - 1).bit_length())
@@ -401,12 +450,21 @@ def make_simulation_renderer(cfg, snapshot: Optional[int] = None,
                         jnp.asarray(directions)[pad_idx],
                         jnp.asarray(momentum_factors)[pad_idx], grid)
                     out["I_nu"][idx] = np.asarray(sub["I_nu"])[:n]
+                    out["_flags"][idx] = np.asarray(sub["_flags"])[:n]
+                    out["_n_samples"][idx] = \
+                        np.asarray(sub["_n_samples"])[:n]
                 return out
 
     # Fused polarized Pallas kernel (ops/pallas_polarized.py scope):
     # full-Stokes light-only image, thermal ti_te_beta, trilinear
     # clamped-to-block sampling, rk4/rk2, float32, single-block SKS grid.
-    if (kernel and jax.default_backend() == "tpu"
+    # OPT-IN ONLY (kernel="force"): measured on v5e it is ~28% slower than
+    # the XLA streaming path under the identical tile protocol (36.0k vs
+    # 50.0k rays/s at 512 steps) - the window-4/(8,8)-brick variant that
+    # Mosaic can compile in reasonable time re-integrates each window in
+    # sweep B and pays brick DMAs every 4 steps, which the streaming XLA
+    # path's gathers beat. Kept for A/B (scripts/bench_polarized.py).
+    if (kernel == "force" and jax.default_backend() == "tpu"
             and polarized and cfg.require("image_light")
             and not aux_planes and cfg.require("render_num_images") == 0
             and not slow and not use_block_interp

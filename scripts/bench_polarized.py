@@ -62,7 +62,8 @@ def main():
         # of the Stokes-I scale (V crosses zero over the image).
         import numpy as np
         cfg.camera_resolution = 1024
-        fn_k, geom, rays, frequencies, _ = make_simulation_renderer(cfg)
+        fn_k, geom, rays, frequencies, _ = make_simulation_renderer(
+            cfg, kernel="force")
         fn_x, _, _, _, _ = make_simulation_renderer(cfg, kernel=False)
         res, tile = 1024, 32
         patch = (np.arange(tile * tile).reshape(4, 8, 2, 16)
@@ -118,7 +119,7 @@ def main():
         import numpy as np
         cfg.camera_resolution = 1024
         render_fn, geom, rays, frequencies, mass = make_simulation_renderer(
-            cfg, kernel=not args.no_kernel)
+            cfg, kernel=False if args.no_kernel else "force")
         res, tile = 1024, 32
         n = res * res
         idx = np.arange(n).reshape(res, res)
@@ -163,7 +164,7 @@ def main():
     for res in [int(s) for s in args.sizes.split(",")]:
         cfg.camera_resolution = res
         render_fn, geom, rays, frequencies, mass = make_simulation_renderer(
-            cfg, kernel=not args.no_kernel)
+            cfg, kernel=False if args.no_kernel else "force")
         n = res * res
         t0 = time.perf_counter()
         img = render_fn(rays.positions, rays.directions,

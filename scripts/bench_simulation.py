@@ -25,6 +25,21 @@ def main():
                          "blocks are then full 32x32 tiles - else 128)")
     ap.add_argument("--kernel", action="store_true",
                     help="use the fused Pallas simulation kernel")
+    ap.add_argument("--phased", action="store_true",
+                    help="kernel path with phased dispatch (A/B; measured "
+                         "SLOWER than monolithic on the remote-tunnel v5e "
+                         "- 21.4k vs 43.5k rays/s - see "
+                         "pipeline_simulation.KERNEL_PHASED)")
+    ap.add_argument("--no-phased", action="store_true",
+                    help="(default) monolithic kernel launches")
+    ap.add_argument("--phase-steps", type=int, default=None,
+                    help="steps per phase (default 512)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="rays per dispatch call (default 16384; phased "
+                         "kernel defaults to the full image so survivor "
+                         "compaction spans all tiles)")
+    ap.add_argument("--phase-chunk", type=int, default=None,
+                    help="rays per phase launch (default 65536)")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--integrator", choices=["dp", "rk4", "rk2"],
                     default=None, help="override the config's integrator")
@@ -95,6 +110,12 @@ def main():
         cfg.image_frequency_spacing = FrequencySpacing.log
 
     use_wf = args.wavefront and not args.no_wavefront and not args.kernel
+    if args.phased and not args.no_phased:
+        pipeline_simulation.KERNEL_PHASED = True
+    if args.phase_steps:
+        pipeline_simulation.KERNEL_PHASE_STEPS = args.phase_steps
+    if args.phase_chunk:
+        pipeline_simulation.KERNEL_PHASE_CHUNK = args.phase_chunk
     render_fn, geom, rays, frequencies, mass = make_simulation_renderer(
         cfg, wavefront=use_wf, wavefront_batch=not args.no_batch,
         kernel="force" if args.kernel else False)
@@ -114,8 +135,13 @@ def main():
     D = np.asarray(rays.directions)[order]
     M = np.asarray(rays.momentum_factors)[order]
     # Tile ordering sets per-1024-ray-block coherence; dispatch chunks can
-    # be larger (the kernel grids over 1024-ray blocks internally).
-    chunk = max(tile * tile, 16384)
+    # be larger (the kernel grids over 1024-ray blocks internally). The
+    # phased kernel dispatches the full image in one call so survivor
+    # compaction spans all tiles.
+    phased_on = (args.kernel and pipeline_simulation.KERNEL_PHASED
+                 and (args.integrator or "rk4") in ("rk4", "rk2"))
+    chunk = args.chunk or (n if phased_on else 16384)
+    chunk = max(tile * tile, chunk)
 
     def render_all():
         outs = []
@@ -142,6 +168,9 @@ def main():
         "integrator": args.integrator or "rk4",
         "freqs": args.freqs, "tile": tile,
         "kernel": args.kernel,
+        "phased": args.kernel and pipeline_simulation.KERNEL_PHASED,
+        "phase_steps": pipeline_simulation.KERNEL_PHASE_STEPS,
+        "chunk": chunk,
         "kernel_fallback_rays": fallback,
         "wavefront": use_wf,
         "wavefront_batch": use_wf and not args.no_batch,
